@@ -1,0 +1,130 @@
+"""Crawl configuration — the engine's equivalent of the reference CLI surface.
+
+Mirrors all 19 typed fields of the reference's ``Args`` (reference:
+/root/reference/src/args.rs:8-162) plus the scale knobs the PySpark engine adds
+(per-host politeness budgets, bloom prefilter, salting, checkpointing, robots).
+
+The config is a frozen value object: regex filters are compiled once on the
+driver and the whole object is captured by the Arrow UDF closures (it is tiny,
+so ordinary task serialization is the broadcast).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+
+from .functions import urlkit
+
+#: args.depth == -1 means unbounded recursion (scraper.rs:30).
+INFINITE_DEPTH = -1
+
+AUTH_CHUNK_SIZE = 3  # downloader.rs:12
+
+
+def parse_auth(auth: list[str], origin: str) -> tuple[str, str | None, str]:
+    """Parse one ``user [pass [host]]`` auth chunk (downloader.rs:22-52):
+    empty strings -> None; host defaults to the origin host; a missing/None
+    username is an error."""
+    vals = [s if s != "" else None for s in auth]
+    origin_host = urlkit.url_host(origin)
+    if len(vals) >= 1 and vals[0] is not None:
+        username = vals[0]
+        password = vals[1] if len(vals) >= 2 else None
+        host = vals[2] if len(vals) >= 3 and vals[2] is not None else origin_host
+        if host is None:
+            raise ValueError("Invalid arguments supplied to auth")
+        return (username, password, host)
+    raise ValueError("Invalid arguments supplied to auth")
+
+
+def build_auth_map(auth: list[str], origin: str) -> dict[str, tuple[str, str | None]]:
+    """Chunk the flat auth list by 3 into host -> (user, pass) (downloader.rs:64-71)."""
+    auth_map: dict[str, tuple[str, str | None]] = {}
+    for i in range(0, len(auth), AUTH_CHUNK_SIZE):
+        username, password, host = parse_auth(auth[i : i + AUTH_CHUNK_SIZE], origin)
+        auth_map[host] = (username, password)
+    return auth_map
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Whole-run crawl configuration (reference Args, args.rs:8-162)."""
+
+    origin: str
+    output: str | None = None
+    jobs: int = 1                       # per-superstep parallelism hint
+    depth: int = INFINITE_DEPTH         # local recursion depth; -1 = infinite
+    ext_depth: int = 0                  # external-domain depth; -1 = infinite
+    tries: int = 20
+    delay: int = 0                      # politeness delay (seconds)
+    random_range: int = 0
+    user_agent: str = "suckit"
+    cookie: str = ""
+    include_visit: str = ".*"
+    exclude_visit: str = "$^"
+    include_download: str = ".*"
+    exclude_download: str = "$^"
+    visit_filter_is_download_filter: bool = False
+    auth: tuple[str, ...] = ()
+    continue_on_error: bool = False
+    dry_run: bool = False
+    disable_certs_checks: bool = False
+    verbose: bool = False
+
+    # ---- Engine extensions (BASELINE.json north_rule; no reference counterpart)
+    #: cap on pages fetched per host per superstep (None = unlimited); excess
+    #: frontier rows are deferred to the next superstep in stable order.
+    host_budget: int | None = None
+    #: honor robots.txt Disallow rules found in the pages table.
+    respect_robots: bool = False
+    #: bloom prefilter in front of the seen anti-join once seen exceeds this
+    #: many rows (None disables).
+    bloom_threshold: int | None = 10_000
+    bloom_fpp: float = 0.03
+    #: frontier repartitioning: number of partitions per superstep (None =
+    #: spark.sql.shuffle.partitions); salting kicks in for hosts holding more
+    #: than skew_salt_threshold of a superstep's rows.
+    frontier_partitions: int | None = None
+    skew_salt_threshold: float = 0.2
+    skew_salt_buckets: int = 16
+    #: parquet-snapshot checkpoint directory (Iceberg-style atomic superstep
+    #: commits with a JSON manifest); None = in-memory localCheckpoint only.
+    checkpoint_dir: str | None = None
+    #: safety valve for runaway crawls (tests/bench); None = unbounded.
+    max_supersteps: int | None = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "origin", urlkit.canonical_origin(self.origin))
+        if self.visit_filter_is_download_filter:
+            # Filter aliasing (scraper.rs:52-56).
+            object.__setattr__(self, "include_visit", self.include_download)
+            object.__setattr__(self, "exclude_visit", self.exclude_download)
+        # Validate regexes and auth eagerly (reference compiles at arg parse).
+        for pat in (self.include_visit, self.exclude_visit,
+                    self.include_download, self.exclude_download):
+            re.compile(pat)
+        build_auth_map(list(self.auth), self.origin)
+
+    # Compiled-once accessors (kept as methods so the dataclass stays picklable
+    # without dragging compiled pattern objects through serialization).
+    def visit_ok(self, raw_candidate: str) -> bool:
+        """Visit filter on the *raw* candidate string (scraper.rs:352-369)."""
+        if re.search(self.exclude_visit, raw_candidate) or not re.search(
+            self.include_visit, raw_candidate
+        ):
+            return False
+        return urlkit.visit_url_shape_ok(raw_candidate)
+
+    def download_ok(self, url: str) -> bool:
+        """Download filter on the resolved URL string (scraper.rs:238-239);
+        gates persistence only — the page is fetched and parsed regardless."""
+        return not re.search(self.exclude_download, url) and bool(
+            re.search(self.include_download, url)
+        )
+
+    def auth_map(self) -> dict[str, tuple[str, str | None]]:
+        return build_auth_map(list(self.auth), self.origin)
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)

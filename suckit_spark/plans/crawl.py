@@ -1,0 +1,333 @@
+"""The bulk-synchronous crawl loop: one superstep per BFS queue generation.
+
+With ``jobs=1`` the reference's FIFO channel makes the crawl an exact BFS —
+every URL enqueued during generation *s* is processed after all of generation
+*s* and before anything they enqueue (scraper.rs:50,316). That queue
+discipline maps 1:1 onto a driver loop of set-oriented DataFrame operations:
+
+    superstep s:
+      frontier_s  --politeness budget-->  (selected, deferred)
+        --repartition(url hash + salt)-->
+        --LEFT JOIN pages ON fetch_url-->                 (the "fetch")
+        --mapInPandas(page pipeline P1-P11)-->            (one Arrow stage)
+        --posexplode(links)--> candidates
+        --first-wins window dedup--> --bloom + anti-join seen-->
+        --depth gates--> frontier_{s+1} (∪ deferred)
+      append mirror / crawl_log / seen / metrics; commit snapshot
+    until frontier empty                                   (exact termination;
+                                       the reference polls an empty channel 10
+                                       times, scraper.rs:315-321 — BSP needs no
+                                       heuristic)
+
+Determinism: each row carries ``order_key`` = parent's key + [link position].
+(superstep, order_key) sorts the log in exactly the order the reference's
+single worker would visit, with no global sequencing bottleneck in the loop
+itself — a scalar ``visit_seq`` is assigned only in ``finalize`` (tests), via
+one window over the final log.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import INFINITE_DEPTH, CrawlConfig
+from ..operators import dedup as dedup_ops
+from ..operators import frontier as frontier_ops
+from ..operators.page_pipeline import make_page_pipeline
+from ..schemas import (
+    FRONTIER_SCHEMA, METRICS_SCHEMA, PAGE_RESULT_SCHEMA, PAGES_SCHEMA,
+    SEEN_SCHEMA,
+)
+from ..functions import urlkit
+from .checkpoint import CrawlCheckpoint
+
+
+class CrawlAbort(RuntimeError):
+    """Fetch failure without --continue-on-error (scraper.rs:275-281)."""
+
+
+#: Frontier rows small enough to broadcast into the fetch join. At the 10^10
+#: design point the frontier side is large and Catalyst picks a sort-merge
+#: join against the bucketed pages table instead; the hint only applies when
+#: the superstep is genuinely small (tail supersteps, fixture sites).
+BROADCAST_FRONTIER_MAX = 200_000
+
+
+@dataclass
+class CrawlResult:
+    mirror: DataFrame
+    crawl_log: DataFrame          # ordered, with visit_seq
+    seen: DataFrame
+    metrics: DataFrame
+    supersteps: int
+    wall_times: list[float] = dc_field(default_factory=list)
+
+    def materialize_mirror(self, output_dir: str) -> None:
+        """Write the actual file tree (disk.rs parity): bytes per path, plus
+        symlinks for content-disposition filenames. Executor-side
+        ``foreachPartition`` — no driver collect."""
+        import os
+
+        def write_partition(rows):
+            for r in rows:
+                if r.filename:
+                    fpath = os.path.join(output_dir, r.filename)
+                    os.makedirs(os.path.dirname(fpath) or output_dir, exist_ok=True)
+                    with open(fpath, "wb") as f:
+                        f.write(bytes(r.content) if r.content is not None else b"")
+                    link = os.path.join(output_dir, r.path)
+                    os.makedirs(os.path.dirname(link), exist_ok=True)
+                    if not os.path.lexists(link):
+                        os.symlink(r.symlink_target, link)
+                else:
+                    fpath = os.path.join(output_dir, r.path)
+                    os.makedirs(os.path.dirname(fpath), exist_ok=True)
+                    with open(fpath, "wb") as f:
+                        f.write(bytes(r.content) if r.content is not None else b"")
+
+        os.makedirs(output_dir, exist_ok=True)
+        self.mirror.foreachPartition(write_partition)
+
+
+def _normalize_pages(pages: DataFrame) -> DataFrame:
+    """Ensure every PAGES_SCHEMA column exists (missing -> null)."""
+    existing = set(pages.columns)
+    cols = [
+        F.col(f.name) if f.name in existing else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in PAGES_SCHEMA.fields
+    ]
+    return pages.select(*cols)
+
+
+def _seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    origin = cfg.origin
+    row = [(origin, urlkit.strip_fragment(origin), 0, 0, 0, [0])]
+    return spark.createDataFrame(row, FRONTIER_SCHEMA)
+
+
+def crawl(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run the full crawl; returns result DataFrames (nothing collected)."""
+    pages = _normalize_pages(pages)
+    ckpt = CrawlCheckpoint(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+
+    if resume and ckpt is not None and ckpt.last_superstep() is not None:
+        state = ckpt.load()
+        frontier = state["frontier"]
+        seen = state["seen"]
+        seen_count = seen.count()
+        step = state["superstep"] + 1
+        mirror_deltas = [state["mirror"]] if state["mirror"] is not None else []
+        log_deltas = [state["crawl_log"]] if state["crawl_log"] is not None else []
+        metric_deltas = [state["metrics"]] if state["metrics"] is not None else []
+    else:
+        frontier = _seed_frontier(spark, cfg)
+        seen = spark.createDataFrame([(cfg.origin, 0)], SEEN_SCHEMA)
+        seen_count = 1
+        step = 0
+        mirror_deltas, log_deltas, metric_deltas = [], [], []
+
+    pipeline = make_page_pipeline(cfg)
+    wall_times: list[float] = []
+
+    frontier_count = frontier.count()
+    while frontier_count > 0:
+        if cfg.max_supersteps is not None and step >= cfg.max_supersteps:
+            break
+        t0 = time.monotonic()
+
+        # C3: per-host politeness budget — overflow defers, order preserved.
+        selected, deferred = frontier_ops.apply_host_budget(frontier, cfg.host_budget)
+
+        # C1/C4: explicit spread of the fetch stage (url hash + salt).
+        selected = frontier_ops.repartition_frontier(
+            selected, cfg.frontier_partitions, cfg.skew_salt_buckets)
+
+        # S2/S3: the fetch = left join against the pages corpus. Broadcast the
+        # frontier side only when it is provably small.
+        fr = F.broadcast(selected) if frontier_count <= BROADCAST_FRONTIER_MAX else selected
+        fetched = fr.join(
+            pages.withColumnRenamed("url", "page_url"),
+            on=fr["fetch_url"] == F.col("page_url"),
+            how="left",
+        ).withColumn("found", F.col("page_url").isNotNull()).drop("page_url")
+
+        # P1-P11 fused in one Arrow stage.
+        result = fetched.mapInPandas(pipeline, PAGE_RESULT_SCHEMA)
+        result = result.localCheckpoint(eager=True)  # reused 4×; cut lineage
+
+        # C6: error policy.
+        if not cfg.continue_on_error:
+            err = result.filter(F.col("status") == "error").select("url").head(1)
+            if err:
+                raise CrawlAbort(f"Couldn't download a page: {err[0].url}")
+
+        # P4-P8: explode candidates, gate, dedup, grow the seen set.
+        cand = (
+            result.select(
+                F.col("url").alias("parent_url"),
+                F.col("depth"), F.col("ext_depth"),
+                F.col("order_key").alias("parent_key"),
+                F.explode("links").alias("link"),
+            )
+            .select(
+                F.col("link.url").alias("url"),
+                F.col("link.external").alias("external"),
+                F.col("depth"), F.col("ext_depth"),
+                F.concat("parent_key", F.array(F.col("link.pos").cast("long")))
+                .alias("order_key"),
+            )
+        )
+        # First-wins within the superstep (window, order-preserving) then
+        # exact anti-join against seen, bloom-prefiltered when seen is large.
+        winners = dedup_ops.first_wins(cand, "url", "order_key")
+        new_urls = dedup_ops.anti_join_seen(
+            winners, seen, "url",
+            seen_count=seen_count,
+            bloom_threshold=cfg.bloom_threshold,
+            bloom_fpp=cfg.bloom_fpp,
+        )
+        new_urls = new_urls.localCheckpoint(eager=True)
+
+        # F5/F6: depth gates choose which newly-seen URLs are actually fetched.
+        local_gate = (F.lit(cfg.depth) == INFINITE_DEPTH) | (F.col("depth") < cfg.depth)
+        ext_gate = (F.lit(cfg.ext_depth) == INFINITE_DEPTH) | (
+            F.col("ext_depth") < cfg.ext_depth)
+        next_frontier = (
+            new_urls.filter(
+                (~F.col("external") & local_gate) | (F.col("external") & ext_gate))
+            .select(
+                "url",
+                F.split(F.col("url"), "#", 2).getItem(0).alias("fetch_url"),
+                F.when(~F.col("external"), F.col("depth") + 1)
+                .otherwise(F.col("depth")).alias("depth"),
+                F.when(F.col("external"), F.col("ext_depth") + 1)
+                .otherwise(F.col("ext_depth")).alias("ext_depth"),
+                F.lit(step + 1).alias("superstep"),
+                "order_key",
+            )
+        )
+        if deferred is not None:
+            next_frontier = next_frontier.unionByName(
+                deferred.withColumn("superstep", F.lit(step + 1)))
+
+        # Deltas for this superstep.
+        seen_delta = new_urls.select("url", F.lit(step).alias("superstep"))
+        mirror_delta = (
+            result.filter((F.col("status") == "ok") & F.col("download"))
+            .select(
+                "url", "path", "filename", "content", "superstep",
+                F.when(
+                    F.col("filename").isNotNull(),
+                    _symlink_target_col(),
+                ).alias("symlink_target"),
+            )
+            if not cfg.dry_run else result.limit(0).select(
+                "url", "path", "filename", "content", "superstep",
+                F.lit(None).cast("string").alias("symlink_target"))
+        )
+        log_delta = result.select(
+            "url", "depth", "ext_depth", "superstep", "order_key",
+            F.col("download").alias("downloaded"), "status")
+        metrics_delta = (
+            result.groupBy(
+                F.lit(step).alias("superstep"),
+                frontier_ops.host_col("fetch_url").alias("host"))
+            .agg(
+                F.count("*").alias("pages"),
+                F.sum(F.coalesce(F.length("content"), F.lit(0))).cast("long").alias("bytes"),
+                F.sum((F.col("status") == "error").cast("long")).alias("errors"),
+                F.lit(0).cast("long").alias("new_urls"),
+            )
+        )
+
+        # Commit the superstep: materialize next frontier + seen, snapshot.
+        next_frontier = next_frontier.localCheckpoint(eager=True)
+        seen = seen.unionByName(seen_delta).localCheckpoint(eager=True)
+        new_count = new_urls.count()
+        seen_count += new_count
+        frontier = next_frontier
+        frontier_count = frontier.count()
+
+        mirror_delta = mirror_delta.localCheckpoint(eager=True)
+        log_delta = log_delta.localCheckpoint(eager=True)
+        metrics_delta = metrics_delta.localCheckpoint(eager=True)
+        mirror_deltas.append(mirror_delta)
+        log_deltas.append(log_delta)
+        metric_deltas.append(metrics_delta)
+
+        wall = time.monotonic() - t0
+        wall_times.append(wall)
+        if ckpt is not None:
+            ckpt.commit(
+                step,
+                frontier=frontier, seen=seen,
+                mirror_delta=mirror_delta, log_delta=log_delta,
+                metrics_delta=metrics_delta,
+                stats={"frontier_rows": frontier_count, "new_urls": new_count,
+                       "wall_sec": wall},
+            )
+        step += 1
+
+    spark_ = spark
+    mirror = _union_all(spark_, mirror_deltas, _mirror_schema())
+    log = _union_all(spark_, log_deltas, _log_schema())
+    metrics = _union_all(spark_, metric_deltas, METRICS_SCHEMA)
+
+    # Canonical jobs=1 visit order (single window, finalize-only — the loop
+    # itself never needs a global ordering).
+    from pyspark.sql.window import Window
+    w = Window.orderBy("superstep", "order_key")
+    log = log.withColumn("visit_seq", F.row_number().over(w).cast("long")).select(
+        "url", "depth", "ext_depth", "superstep", "order_key", "visit_seq",
+        "downloaded", "status")
+
+    return CrawlResult(
+        mirror=mirror, crawl_log=log, seen=seen, metrics=metrics,
+        supersteps=step, wall_times=wall_times,
+    )
+
+
+def _symlink_target_col():
+    """Relative target from the canonical path's directory to the
+    content-disposition filename at the output root (disk.rs:35-65)."""
+    depth = F.size(F.split(F.col("path"), "/")) - F.lit(1)
+    ups = F.concat_ws("", F.array_repeat(F.lit("../"), depth))
+    return F.concat(ups, F.col("filename"))
+
+
+def _union_all(spark, dfs, schema):
+    if not dfs:
+        return spark.createDataFrame([], schema)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _mirror_schema():
+    from ..schemas import MIRROR_SCHEMA
+    return MIRROR_SCHEMA
+
+
+def _log_schema():
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+    return StructType([
+        StructField("url", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("ext_depth", IntegerType()),
+        StructField("superstep", IntegerType()),
+        StructField("order_key", ArrayType(LongType())),
+        StructField("downloaded", BooleanType()),
+        StructField("status", StringType()),
+    ])
