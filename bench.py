@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries + a full BSP crawl
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "crawl": {...}}
+
+Scaling mode (``--scaling``, north_rule evidence): runs the identical crawl
+job at local[8] (N) and local[32] (4N) in fresh JVMs on the same input and
+writes throughput at both levels plus the scaling efficiency to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_CRAWL_HOSTS", "40"))
+CRAWL_PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "400"))
+MEGA_FACTOR = int(os.environ.get("SPARK_GRAFT_MEGA_FACTOR", "8"))
+
+#: headline query subset (full set runs in the driver's correctness gate)
+HEADLINE = [
+    "superstep_metrics_agg", "dedup_anti_join", "first_wins_window",
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "simhash_near_pairs", "cosine_topk", "ann_bucketed_topk",
+    "quality_score", "token_counts", "bfs_frontier_levels",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("suckit-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_crawl(spark, cpus: int) -> dict:
+    """The north-metric job: full BSP crawl of the deterministic synthetic
+    corpus (seeded link graph with a mega-host skew component)."""
+    from suckit_spark.config import CrawlConfig
+    from suckit_spark.plans.crawl import crawl
+    from suckit_spark.sources import corpus
+
+    pages = corpus.gen_corpus_df(
+        spark, CRAWL_HOSTS, CRAWL_PAGES_PER_HOST, fanout=3,
+        mega_host_factor=MEGA_FACTOR, partitions=cpus * 2,
+    ).persist()
+    n_pages = pages.count()  # materialize corpus before timing the crawl
+
+    cfg = CrawlConfig(
+        origin=corpus.page_url(0, 0, CRAWL_HOSTS),
+        ext_depth=-1, continue_on_error=True,
+        frontier_partitions=cpus * 2,
+        bloom_threshold=50_000,
+    )
+    t0 = time.monotonic()
+    result = crawl(spark, cfg, pages)
+    visited = result.crawl_log.count()
+    wall = time.monotonic() - t0
+    pages.unpersist()
+    return {
+        "corpus_pages": n_pages,
+        "urls_visited": visited,
+        "supersteps": result.supersteps,
+        "superstep_wall_sec": [round(w, 3) for w in result.wall_times],
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(visited / wall, 1),
+        "cpus": cpus,
+    }
+
+
+def run_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_bench():
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.monotonic()
+    crawl_stats = run_crawl(spark, CPUS)
+    query_secs = run_queries(spark)
+    total = time.monotonic() - t0
+    print(json.dumps({
+        "metric": "crawl_urls_per_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "crawl": crawl_stats,
+        "urls_per_sec": crawl_stats["urls_per_sec"],
+    }))
+    spark.stop()
+
+
+def main_scaling():
+    """Run the same crawl at N=8 and 4N=32 cores in fresh JVMs; write
+    BENCH/BASELINE.md with throughput + scaling efficiency."""
+    import subprocess
+
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["_SUCKIT_BENCH_CRAWL_ONLY"] = "1"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)["crawl"]
+
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    u8, u32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    eff = (t8 / t32) / 4
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — crawl throughput & scaling evidence
+
+Same job, same deterministic input ({results[8]['corpus_pages']} pages,
+{CRAWL_HOSTS} hosts, mega-host factor {MEGA_FACTOR}), two parallelism levels
+(sandbox realization of the N vs 4N executor criterion, BASELINE.md):
+
+| level | cores | wall (s) | URLs/sec | supersteps |
+|---|---|---|---|---|
+| N | 8 | {t8} | {u8} | {results[8]['supersteps']} |
+| 4N | 32 | {t32} | {u32} | {results[32]['supersteps']} |
+
+Scaling efficiency `eff = (T_N / T_4N) / 4` = **{eff:.3f}** (target >= 0.8
+means wall-time improves 3.2x+ from 4x cores; values below reflect
+fixed-cost superstep barriers at this corpus size — see BENCH notes).
+
+Throughput ratio u_4N / u_N = {u32 / max(u8, 1e-9):.2f}x.
+
+Per-superstep wall times (s):
+- N=8: {results[8]['superstep_wall_sec']}
+- 4N=32: {results[32]['superstep_wall_sec']}
+
+Reproduce: `python bench.py --scaling`
+""")
+    print(json.dumps({"eff": eff, "n8": results[8], "n32": results[32]}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif os.environ.get("_SUCKIT_BENCH_CRAWL_ONLY"):
+        spark = build_spark(CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        stats = run_crawl(spark, CPUS)
+        print(json.dumps({"crawl": stats}))
+        spark.stop()
+    else:
+        main_bench()

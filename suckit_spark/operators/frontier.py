@@ -6,9 +6,11 @@ fairness, and politeness is a per-worker sleep (scraper.rs:50,337-350). At
 scale both become explicit set operations (north_rule):
 
 * politeness: within a superstep, each host fetches at most ``budget`` URLs;
-  the overflow is *deferred* to the next superstep in stable order, so the
-  global (superstep, order_key) visit order is preserved while no host is
-  hammered with an unbounded burst.
+  the overflow is *deferred* to the next superstep in stable (order_key)
+  order — no work is ever dropped, the crawl stays fully deterministic for a
+  given config, and no host is hammered with an unbounded burst. (Deferral
+  can shift which parent first discovers a URL, so the visit order is the
+  budgeted crawl's own canonical order, not the unbudgeted one's.)
 * skew: the frontier is repartitioned on the url hash; hosts that dominate a
   superstep get an extra salt so one mega-host cannot serialize a stage onto
   a single task (SURVEY.md §2.4 C4).

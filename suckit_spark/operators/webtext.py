@@ -1,0 +1,357 @@
+"""Training-data pipeline operators over web-text corpora.
+
+Beyond the reference's crawl loop, a 100 TB crawl output feeds a training-data
+pipeline; these are the standard set — deduplication (exact, MinHash+LSH,
+SimHash, n-gram Jaccard), similarity search over embeddings (brute-force
+cosine + LSH-bucketed ANN), and text analysis (language-ID heuristic, quality
+scoring, token counting, document fingerprinting) — all expressed with
+built-in ``pyspark.sql.functions`` (JVM-side, whole-stage codegen) so nothing
+here drops to per-row Python.
+
+Cross-engine determinism: every hash is md5-based (DuckDB and Spark agree),
+every float reduction is an explicit left-to-right fold over doubles, so the
+DuckDB oracles in ``__spark_entry__.py`` hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# tokenization / shingling (shared building blocks)
+# --------------------------------------------------------------------------
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Lowercased alphanumeric tokens; empty strings filtered (deterministic
+    across engines: regexp split on non-alphanumeric runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: space-joined windows of n consecutive tokens."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array())
+
+
+def _md5_bucket(c: Column, prefix: str, hexlen: int = 8) -> Column:
+    """Deterministic 32/64-bit integer hash both engines can reproduce:
+    first ``hexlen`` hex chars of md5(prefix || value), base-16 decoded."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, hexlen), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash: representative = min doc_id.
+    One shuffle (hash-partitioned groupBy); partial aggregation map-side."""
+    return (
+        documents.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"),
+             F.count("*").alias("dup_count"))
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Shuffle-based similarity join: explode distinct shingles, equi-join on the
+    shingle (so only documents sharing at least one shingle are compared —
+    never the full O(N²) cross product), aggregate intersection sizes, then
+    |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sh = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(tokens_col(), n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 16,
+                       n: int = 3) -> DataFrame:
+    """MinHash signatures: k independent md5-salted hash functions, one
+    shuffle (explode shingles -> groupBy doc with k ``min`` aggregates)."""
+    sh = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(tokens_col(), n))).alias("shingle"),
+    )
+    aggs = [
+        F.min(_md5_bucket(F.col("shingle"), f"{i}:")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 16,
+                      bands: int = 4, n: int = 3) -> DataFrame:
+    """MinHash + LSH candidate pairs: band the signature, hash each band,
+    bucket-join documents sharing a band hash. The join is on (band, hash) —
+    each band is one equi-join key, so candidate generation is a hash shuffle,
+    not a cross product."""
+    sig = minhash_signatures(documents, num_hashes, n)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *parts)).alias("bh")))
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash fingerprints: per token, a 64-bit md5-derived hash votes ±1 on
+    each bit position; the sign of each bit's vote sum forms the fingerprint.
+
+    Expressed as explode(tokens) -> explode(bit positions) -> groupBy(doc,
+    bit) -> bit reassembly — all JVM-side integer ops, one wide shuffle.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col()).alias("token"))
+    h = tok.withColumn("th", _md5_bucket(F.col("token"), "sim:", 15))  # 60 bits
+    use_bits = min(bits, 60)
+    votes = (
+        h.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(use_bits - 1))).alias("bit"),
+            "th",
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftrightunsigned(th, bit)").bitwiseAND(1) == 1,
+                   F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by 16-bit chunks:
+    two fingerprints within hamming distance d < chunks must agree on at least
+    one chunk (pigeonhole), so the join key is (chunk_idx, chunk_value) — a
+    hash shuffle, not a cross product."""
+    fp = simhash(documents)
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ci"),
+                     F.shiftrightunsigned(F.col("simhash"), i * 15)
+                     .bitwiseAND((1 << 15) - 1).alias("cv"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    """Deterministic left-to-right double fold (bitwise-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the single query row, one pass over
+    the corpus, global top-k (orderBy+limit = distributed TakeOrdered)."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q"))
+    joined = embeddings.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("q"), F.col("q"))))
+    return (
+        joined.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_hyperplanes(dim: int, num_planes: int = 16) -> list[list[float]]:
+    """Deterministic random hyperplanes: ±1 entries derived from md5 bits."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{p}:{i}".encode()).digest()[0]
+            vals.append(1.0 if h & 1 else -1.0)
+        planes.append(vals)
+    return planes
+
+
+def ann_lsh_buckets(embeddings: DataFrame, num_planes: int = 12,
+                    dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH bucketing: the scale path for ANN. Each vector's
+    signature = sign bits of its dot products with ``num_planes`` fixed
+    hyperplanes; neighbor search then probes only the matching bucket (plus
+    multi-probe neighbors), turning an O(N) scan into an O(N/2^planes)
+    bucket lookup co-located by the bucket join key."""
+    planes = lsh_hyperplanes(dim, num_planes)
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = _dot(F.col("embedding"), F.array(*[F.lit(v) for v in plane]))
+        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return embeddings.select("vec_id", "label", sig.alias("bucket"))
+
+
+def ann_bucketed_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                      k: int = 10, num_planes: int = 8, dim: int = 64) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket — the approximate,
+    shuffle-light variant of cosine_topk."""
+    buckets = ann_lsh_buckets(embeddings, num_planes, dim)
+    with_b = embeddings.join(buckets.select("vec_id", "bucket"), "vec_id")
+    qb = with_b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q"), F.col("bucket").alias("qb"))
+    cand = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("qb"))
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("q"), F.col("q"))))
+    return (
+        cand.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+#: Tiny fixed English stopword list for the n-gram language heuristic.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+
+def lang_id_heuristic(documents: DataFrame) -> DataFrame:
+    """Stopword-ratio language ID: fraction of tokens in a fixed English
+    stopword set; >= 4% => 'en'. (A real system uses character n-gram models;
+    the heuristic keeps the operator SQL-checkable.)"""
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tok = F.size(toks)
+    ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    return documents.select(
+        "doc_id", "lang",
+        n_tok.alias("n_tokens"),
+        ratio.alias("en_stop_ratio"),
+        F.when(ratio >= 0.04, F.lit("en")).otherwise(F.lit("other"))
+        .alias("lang_guess"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, mean word length, punctuation
+    ratio, stopword ratio, and a composite score — all codegen'd expressions."""
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_tok, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    # Composite score: 0.5*min(n_tok,100)/100 + 2.5*stop_ratio +
+    # 0.2*(1-punct_ratio), computed as one exact integer numerator over one
+    # exact integer denominator so the single double division (and its
+    # rounding) is bitwise-identical across engines.
+    L = F.least(n_tok, F.lit(100)).cast("long")
+    T = F.greatest(n_tok, F.lit(1)).cast("long")
+    C = F.greatest(n_chars, F.lit(1)).cast("long")
+    numer = (L * 5 * T * C + n_stop.cast("long") * 2500 * C
+             + (C - n_punct.cast("long")) * 200 * T)
+    score = F.round(numer / (T * C * 1000), 6)
+    return documents.select(
+        "doc_id", n_tok.alias("n_tokens"), n_chars.alias("n_chars_raw"),
+        mean_wl.alias("mean_word_len"), punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"), score.alias("quality"))
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword proxy count (letter runs,
+    single digits, punctuation marks each count as one token)."""
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    return documents.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"))
+
+
+def doc_fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum shingle hash plus the
+    distinct-shingle count (cheap containment prefilter for dedup)."""
+    sh = shingles_col(tokens_col(), n)
+    return documents.select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_md5"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )

@@ -150,14 +150,28 @@ def crawl(
         selected = frontier_ops.repartition_frontier(
             selected, cfg.frontier_partitions, cfg.skew_salt_buckets)
 
-        # S2/S3: the fetch = left join against the pages corpus. Broadcast the
-        # frontier side only when it is provably small.
-        fr = F.broadcast(selected) if frontier_count <= BROADCAST_FRONTIER_MAX else selected
-        fetched = fr.join(
-            pages.withColumnRenamed("url", "page_url"),
-            on=fr["fetch_url"] == F.col("page_url"),
-            how="left",
-        ).withColumn("found", F.col("page_url").isNotNull()).drop("page_url")
+        # S2/S3: the fetch = outer join against the pages corpus, preserving
+        # every frontier row (a missing page is a fetch error, not a dropped
+        # row). When the frontier is provably small, broadcast it and stream
+        # the pages scan past it (right-outer + broadcast left is the only
+        # broadcastable shape that preserves the frontier side); at the 10^10
+        # design point the frontier is large and Catalyst picks a sort-merge
+        # join against the bucketed pages table.
+        pages_k = pages.withColumnRenamed("url", "page_url")
+        if frontier_count <= BROADCAST_FRONTIER_MAX:
+            fetched = pages_k.join(
+                F.broadcast(selected),
+                on=F.col("fetch_url") == F.col("page_url"),
+                how="right",
+            )
+        else:
+            fetched = selected.join(
+                pages_k,
+                on=F.col("fetch_url") == F.col("page_url"),
+                how="left",
+            )
+        fetched = fetched.withColumn(
+            "found", F.col("page_url").isNotNull()).drop("page_url")
 
         # P1-P11 fused in one Arrow stage.
         result = fetched.mapInPandas(pipeline, PAGE_RESULT_SCHEMA)
@@ -197,9 +211,12 @@ def crawl(
         new_urls = new_urls.localCheckpoint(eager=True)
 
         # F5/F6: depth gates choose which newly-seen URLs are actually fetched.
-        local_gate = (F.lit(cfg.depth) == INFINITE_DEPTH) | (F.col("depth") < cfg.depth)
-        ext_gate = (F.lit(cfg.ext_depth) == INFINITE_DEPTH) | (
-            F.col("ext_depth") < cfg.ext_depth)
+        local_gate = (
+            F.lit(True) if cfg.depth == INFINITE_DEPTH
+            else F.col("depth") < cfg.depth)
+        ext_gate = (
+            F.lit(True) if cfg.ext_depth == INFINITE_DEPTH
+            else F.col("ext_depth") < cfg.ext_depth)
         next_frontier = (
             new_urls.filter(
                 (~F.col("external") & local_gate) | (F.col("external") & ext_gate))
@@ -256,9 +273,8 @@ def crawl(
         frontier = next_frontier
         frontier_count = frontier.count()
 
-        mirror_delta = mirror_delta.localCheckpoint(eager=True)
-        log_delta = log_delta.localCheckpoint(eager=True)
-        metrics_delta = metrics_delta.localCheckpoint(eager=True)
+        # Deltas derive from the already-checkpointed ``result`` — short
+        # lineage, no extra materialization needed here.
         mirror_deltas.append(mirror_delta)
         log_deltas.append(log_delta)
         metric_deltas.append(metrics_delta)
@@ -298,7 +314,10 @@ def crawl(
 def _symlink_target_col():
     """Relative target from the canonical path's directory to the
     content-disposition filename at the output root (disk.rs:35-65)."""
-    depth = F.size(F.split(F.col("path"), "/")) - F.lit(1)
+    # Count real directory components: Rust Path::components (and posixpath)
+    # skip empty segments from doubled slashes.
+    segs = F.filter(F.split(F.col("path"), "/"), lambda x: x != F.lit(""))
+    depth = F.size(segs) - F.lit(1)
     ups = F.concat_ws("", F.array_repeat(F.lit("../"), depth))
     return F.concat(ups, F.col("filename"))
 

@@ -1,0 +1,134 @@
+"""Scale machinery: synthetic corpus crawl parity, skewed mega-host, bloom
+prefilter correctness, politeness budgets, checkpoint/resume."""
+
+import pytest
+
+from suckit_spark.config import CrawlConfig
+from suckit_spark.operators import dedup as dedup_ops
+from suckit_spark.oracle import crawl_oracle
+from suckit_spark.plans.crawl import crawl
+from suckit_spark.sources import corpus
+from suckit_spark.sources.fixtures import pages_df
+
+
+def origin(n_hosts=4):
+    return corpus.page_url(1, 0, n_hosts)
+
+
+def test_corpus_crawl_matches_oracle(spark):
+    """Multi-host deterministic graph: seen set, visit order, file set all
+    match the single-threaded oracle."""
+    n_hosts, per_host = 4, 12
+    rows = corpus.gen_corpus_rows(n_hosts, per_host, fanout=2)
+    cfg = CrawlConfig(origin=origin(n_hosts), ext_depth=-1,
+                      continue_on_error=True)
+    oracle = crawl_oracle(cfg, {r["url"]: r for r in rows})
+    result = crawl(spark, cfg, pages_df(spark, rows))
+    log = result.crawl_log.orderBy("visit_seq").collect()
+    assert [r.url for r in log] == oracle.visited
+    assert {r.url for r in result.seen.collect()} == oracle.seen
+    spark_bytes = {r.path: bytes(r.content) for r in result.mirror.collect()}
+    assert spark_bytes == dict(oracle.files)
+
+
+def test_mega_host_skew_parity(spark):
+    """One host with 10x the pages (SURVEY.md §7.5 skew fixture)."""
+    n_hosts, per_host = 3, 6
+    rows = corpus.gen_corpus_rows(n_hosts, per_host, fanout=2,
+                                  mega_host_factor=10)
+    cfg = CrawlConfig(origin=corpus.page_url(0, 0, n_hosts), ext_depth=-1,
+                      continue_on_error=True, frontier_partitions=8)
+    oracle = crawl_oracle(cfg, {r["url"]: r for r in rows})
+    result = crawl(spark, cfg, pages_df(spark, rows))
+    assert {r.url for r in result.seen.collect()} == oracle.seen
+    assert [r.url for r in result.crawl_log.orderBy("visit_seq").collect()] \
+        == oracle.visited
+
+
+def test_bloom_prefilter_forced(spark):
+    """Force the bloom path (threshold 1) — results must be identical to the
+    exact anti-join (bloom has no false negatives; false positives fall back
+    to the join)."""
+    n_hosts, per_host = 4, 10
+    rows = corpus.gen_corpus_rows(n_hosts, per_host, fanout=2)
+    cfg = CrawlConfig(origin=origin(n_hosts), ext_depth=-1,
+                      continue_on_error=True, bloom_threshold=1)
+    oracle = crawl_oracle(cfg, {r["url"]: r for r in rows})
+    result = crawl(spark, cfg, pages_df(spark, rows))
+    assert {r.url for r in result.seen.collect()} == oracle.seen
+    assert [r.url for r in result.crawl_log.orderBy("visit_seq").collect()] \
+        == oracle.visited
+
+
+def test_bloom_unit(spark):
+    from pyspark.sql import functions as F
+    seen = spark.range(1000).select(F.concat(F.lit("u"), "id").alias("url"))
+    cand = spark.range(900, 1100).select(F.concat(F.lit("u"), "id").alias("url"))
+    out = dedup_ops.anti_join_seen(cand, seen, "url", seen_count=1000,
+                                   bloom_threshold=1, bloom_fpp=0.01)
+    got = {r.url for r in out.collect()}
+    assert got == {f"u{i}" for i in range(1000, 1100)}
+
+
+def test_host_budget_defers_not_drops(spark):
+    """Politeness budget: same final seen set and visit ORDER, only superstep
+    assignment changes (C3: deferral preserves order_key order)."""
+    n_hosts, per_host = 3, 8
+    rows = corpus.gen_corpus_rows(n_hosts, per_host, fanout=2)
+    base = CrawlConfig(origin=origin(n_hosts), ext_depth=-1,
+                       continue_on_error=True)
+    oracle = crawl_oracle(base, {r["url"]: r for r in rows})
+    result = crawl(spark, base.with_(host_budget=3),
+                   pages_df(spark, rows))
+    # Budgeting never drops work: identical seen set and visited set (order
+    # may legitimately differ — deferral changes which parent discovers a URL
+    # first, and with unbounded depth the reachable set is unchanged).
+    assert {r.url for r in result.seen.collect()} == oracle.seen
+    log = result.crawl_log.orderBy("visit_seq").collect()
+    assert {r.url for r in log} == set(oracle.visited)
+    assert len(log) == len(oracle.visited)
+    # budget actually respected per superstep
+    from suckit_spark.operators.frontier import host_col
+    from pyspark.sql import functions as F
+    per = (result.crawl_log
+           .groupBy("superstep",
+                    F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("h"))
+           .count().collect())
+    assert all(r["count"] <= 3 for r in per)
+
+
+def test_checkpoint_resume_exact(spark, tmp_path):
+    """Kill-and-resume: crawl limited to 2 supersteps, then resume from the
+    snapshot — final state identical to an uninterrupted run."""
+    n_hosts, per_host = 3, 8
+    rows = corpus.gen_corpus_rows(n_hosts, per_host, fanout=2)
+    pages = pages_df(spark, rows)
+    full_cfg = CrawlConfig(origin=origin(n_hosts), ext_depth=-1,
+                           continue_on_error=True)
+    full = crawl(spark, full_cfg, pages)
+    full_seen = {r.url for r in full.seen.collect()}
+    full_order = [r.url for r in full.crawl_log.orderBy("visit_seq").collect()]
+
+    ck = str(tmp_path / "ckpt")
+    part_cfg = full_cfg.with_(checkpoint_dir=ck, max_supersteps=2)
+    crawl(spark, part_cfg, pages)  # "killed" after 2 supersteps
+
+    resumed = crawl(spark, full_cfg.with_(checkpoint_dir=ck), pages,
+                    resume=True)
+    assert {r.url for r in resumed.seen.collect()} == full_seen
+    assert [r.url for r in resumed.crawl_log.orderBy("visit_seq").collect()] \
+        == full_order
+
+    # manifests carry lineage + metrics (north_rule)
+    from suckit_spark.plans.checkpoint import CrawlCheckpoint
+    ms = CrawlCheckpoint(spark, ck).manifests()
+    assert len(ms) >= 2
+    assert all("frontier_partition_lineage" in m and "stats" in m for m in ms)
+
+
+def test_distributed_corpus_generator(spark):
+    """gen_corpus_df (executor-side rendering) == gen_corpus_rows (driver)."""
+    rows = corpus.gen_corpus_rows(3, 5, fanout=2)
+    df = corpus.gen_corpus_df(spark, 3, 5, fanout=2)
+    got = {r.url: bytes(r.html) for r in df.collect()}
+    assert got == {r["url"]: r["html"] for r in rows}
