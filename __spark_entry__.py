@@ -242,7 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"))
 
     q["ngram_jaccard_pairs"] = lambda spark, sf: webtext.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), n=3, threshold=0.2)
+        _t(spark, sf, "documents"), n=3, threshold=0.2, max_df=20)
 
     q["minhash_signatures"] = lambda spark, sf: webtext.minhash_signatures(
         _t(spark, sf, "documents"), num_hashes=8)
@@ -425,9 +425,13 @@ def oracle_sql() -> dict[str, str]:
     o["ngram_jaccard_pairs"] = f"""
         WITH base AS (
           SELECT doc_id, {_TOKENS} AS toks FROM documents
-        ), sh AS (
+        ), sh_all AS (
           SELECT doc_id, unnest(list_distinct({_shingles(3)})) AS shingle
           FROM base
+        ), sh AS (
+          SELECT * FROM sh_all WHERE shingle IN (
+            SELECT shingle FROM sh_all GROUP BY shingle
+            HAVING count(*) <= 20)
         ), sizes AS (
           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
         ), inter AS (

@@ -107,8 +107,10 @@ def main_bench():
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.monotonic()
-    crawl_stats = run_crawl(spark, CPUS)
+    # queries first: the crawl's retained superstep checkpoints would
+    # otherwise pressure the query timings
     query_secs = run_queries(spark)
+    crawl_stats = run_crawl(spark, CPUS)
     total = time.monotonic() - t0
     print(json.dumps({
         "metric": "crawl_urls_per_sec",

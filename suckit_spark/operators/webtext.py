@@ -45,6 +45,16 @@ def _md5_bucket(c: Column, prefix: str, hexlen: int = 8) -> Column:
     return F.conv(F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, hexlen), 16, 10).cast("long")
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Guarantee the expensive fan-out stages actually parallelize: a small
+    corpus read from one parquet file arrives as ONE input partition, which
+    would serialize the shingle explode onto a single core. Repartitioning the
+    (narrow) doc table is cheap relative to the work it unlocks; at real
+    corpus scale the input already has thousands of splits and this is a
+    cheap hash exchange that also co-locates by key."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 # --------------------------------------------------------------------------
 # deduplication
 # --------------------------------------------------------------------------
@@ -60,18 +70,34 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
     Shuffle-based similarity join: explode distinct shingles, equi-join on the
     shingle (so only documents sharing at least one shingle are compared —
     never the full O(N²) cross product), aggregate intersection sizes, then
     |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_df`` (document-frequency cap) drops shingles present in more than
+    that many documents *before* the join — stop-shingle removal. Hot shingles
+    carry no dedup signal but produce O(df²) join fan-out; capping them bounds
+    the worst key's output. Jaccard is then computed over the surviving
+    shingle sets (both sides of the oracle comparison apply the same rule).
     """
-    sh = documents.select(
+    sh = _spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(tokens_col(), n))).alias("shingle"),
     )
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"),
+            "shingle")
+    # The tokenize+explode feeds three consumers (sizes + both self-join
+    # sides); persist it so the parse work runs once. MEMORY_AND_DISK: at
+    # corpus scale the exploded shingles spill rather than OOM.
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -97,7 +123,7 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16,
                        n: int = 3) -> DataFrame:
     """MinHash signatures: k independent md5-salted hash functions, one
     shuffle (explode shingles -> groupBy doc with k ``min`` aggregates)."""
-    sh = documents.select(
+    sh = _spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(tokens_col(), n))).alias("shingle"),
     )
@@ -142,7 +168,7 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     Expressed as explode(tokens) -> explode(bit positions) -> groupBy(doc,
     bit) -> bit reassembly — all JVM-side integer ops, one wide shuffle.
     """
-    tok = documents.select(
+    tok = _spread(documents).select(
         "doc_id", F.explode(tokens_col()).alias("token"))
     h = tok.withColumn("th", _md5_bucket(F.col("token"), "sim:", 15))  # 60 bits
     use_bits = min(bits, 60)

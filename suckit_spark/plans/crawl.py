@@ -118,24 +118,36 @@ def crawl(
     pages = _normalize_pages(pages)
     ckpt = CrawlCheckpoint(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
+    # The seen set is kept as a list of per-superstep delta DataFrames (each
+    # one already materialized): the anti-join reads their lazy union, so a
+    # superstep never pays to re-copy the whole accumulated seen table —
+    # O(total) work per superstep becomes O(delta). (Iceberg snapshots are
+    # exactly this append-only shape; SURVEY.md §4.)
     if resume and ckpt is not None and ckpt.last_superstep() is not None:
         state = ckpt.load()
         frontier = state["frontier"]
-        seen = state["seen"]
-        seen_count = seen.count()
+        seen_deltas = [state["seen"]]
+        seen_count = state["seen"].count()
         step = state["superstep"] + 1
         mirror_deltas = [state["mirror"]] if state["mirror"] is not None else []
         log_deltas = [state["crawl_log"]] if state["crawl_log"] is not None else []
         metric_deltas = [state["metrics"]] if state["metrics"] is not None else []
     else:
         frontier = _seed_frontier(spark, cfg)
-        seen = spark.createDataFrame([(cfg.origin, 0)], SEEN_SCHEMA)
+        seen_deltas = [spark.createDataFrame([(cfg.origin, 0)], SEEN_SCHEMA)]
         seen_count = 1
         step = 0
         mirror_deltas, log_deltas, metric_deltas = [], [], []
 
     pipeline = make_page_pipeline(cfg)
     wall_times: list[float] = []
+    seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
+
+    robots_udf = None
+    if cfg.respect_robots:
+        from ..operators import robots as robots_ops
+        rules = robots_ops.collect_robots_rules(pages)
+        robots_udf = robots_ops.allowed_filter(spark, rules)
 
     frontier_count = frontier.count()
     while frontier_count > 0:
@@ -146,10 +158,6 @@ def crawl(
         # C3: per-host politeness budget — overflow defers, order preserved.
         selected, deferred = frontier_ops.apply_host_budget(frontier, cfg.host_budget)
 
-        # C1/C4: explicit spread of the fetch stage (url hash + salt).
-        selected = frontier_ops.repartition_frontier(
-            selected, cfg.frontier_partitions, cfg.skew_salt_buckets)
-
         # S2/S3: the fetch = outer join against the pages corpus, preserving
         # every frontier row (a missing page is a fetch error, not a dropped
         # row). When the frontier is provably small, broadcast it and stream
@@ -158,7 +166,8 @@ def crawl(
         # design point the frontier is large and Catalyst picks a sort-merge
         # join against the bucketed pages table.
         pages_k = pages.withColumnRenamed("url", "page_url")
-        if frontier_count <= BROADCAST_FRONTIER_MAX:
+        broadcast_path = frontier_count <= BROADCAST_FRONTIER_MAX
+        if broadcast_path:
             fetched = pages_k.join(
                 F.broadcast(selected),
                 on=F.col("fetch_url") == F.col("page_url"),
@@ -172,6 +181,18 @@ def crawl(
             )
         fetched = fetched.withColumn(
             "found", F.col("page_url").isNotNull()).drop("page_url")
+
+        # C1/C4: spread the parse stage (url hash + salt), sized to the
+        # superstep: a broadcast join inherits the pages scan's partitioning,
+        # which would launch one Python task per corpus partition even for a
+        # 1-row frontier — repartition the (frontier-row-count-sized) join
+        # output instead of the corpus. The SMJ path is already partitioned
+        # by the join key; AQE coalesces/splits it.
+        if broadcast_path:
+            cap = cfg.frontier_partitions or spark.sparkContext.defaultParallelism
+            n_parts = max(1, min(cap, frontier_count // 256 + 1))
+            fetched = frontier_ops.repartition_frontier(
+                fetched, n_parts, cfg.skew_salt_buckets)
 
         # P1-P11 fused in one Arrow stage.
         result = fetched.mapInPandas(pipeline, PAGE_RESULT_SCHEMA)
@@ -199,6 +220,12 @@ def crawl(
                 .alias("order_key"),
             )
         )
+        # robots.txt gate (broadcast rules): blocked candidates are dropped at
+        # discovery time — never enqueued, never marked seen.
+        if robots_udf is not None:
+            from ..operators import robots as robots_ops
+            cand = robots_ops.apply_robots(cand, robots_udf)
+
         # First-wins within the superstep (window, order-preserving) then
         # exact anti-join against seen, bloom-prefiltered when seen is large.
         winners = dedup_ops.first_wins(cand, "url", "order_key")
@@ -236,7 +263,6 @@ def crawl(
                 deferred.withColumn("superstep", F.lit(step + 1)))
 
         # Deltas for this superstep.
-        seen_delta = new_urls.select("url", F.lit(step).alias("superstep"))
         mirror_delta = (
             result.filter((F.col("status") == "ok") & F.col("download"))
             .select(
@@ -265,11 +291,17 @@ def crawl(
             )
         )
 
-        # Commit the superstep: materialize next frontier + seen, snapshot.
-        next_frontier = next_frontier.localCheckpoint(eager=True)
-        seen = seen.unionByName(seen_delta).localCheckpoint(eager=True)
+        # Commit the superstep. next_frontier is a cheap projection over the
+        # already-checkpointed new_urls, so it only needs its own
+        # materialization when a budget deferral chains it to the previous
+        # frontier's lineage.
+        if deferred is not None:
+            next_frontier = next_frontier.localCheckpoint(eager=True)
         new_count = new_urls.count()
         seen_count += new_count
+        seen_deltas.append(new_urls.select(
+            "url", F.lit(step).alias("superstep")))
+        seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
         frontier = next_frontier
         frontier_count = frontier.count()
 
