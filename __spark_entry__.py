@@ -256,6 +256,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_pairs"] = lambda spark, sf: webtext.simhash_near_pairs(
         _t(spark, sf, "documents"), max_hamming=20)
 
+    q["embedding_near_dup"] = lambda spark, sf: webtext.embedding_near_dup(
+        _t(spark, sf, "embeddings"), threshold=0.4)
+
+    q["embedding_near_dup_lsh"] = lambda spark, sf: (
+        webtext.embedding_near_dup_lsh(
+            _t(spark, sf, "embeddings"), threshold=0.4,
+            num_planes=4, num_tables=12))
+
     # ---- similarity search
 
     q["cosine_topk"] = lambda spark, sf: webtext.cosine_topk(
@@ -266,6 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_bucketed_topk"] = lambda spark, sf: webtext.ann_bucketed_topk(
         _t(spark, sf, "embeddings"), query_vec_id=0, k=10, num_planes=8)
+
+    q["ivf_topk"] = lambda spark, sf: webtext.ivf_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10,
+        n_centroids=8, n_probe=3)
 
     # ---- multimodal plumbing (binary payload -> typed metadata via
     #      Arrow-batched mapInPandas; decode itself is a deterministic fake —
@@ -484,6 +496,48 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
     """
 
+    _cos = ("list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))])"
+            " / (sqrt(list_sum([{a}[i] * {a}[i]"
+            " for i in generate_series(1, len({a}))]))"
+            " * sqrt(list_sum([{b}[i] * {b}[i]"
+            " for i in generate_series(1, len({b}))])))")
+
+    o["embedding_near_dup"] = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round({_cos.format(a='a.v', b='b.v')}, 6) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
+    """
+
+    o["ivf_topk"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+        ), sc AS (
+          SELECT e.vec_id, e.label, e.v, c.cid,
+                 round({_cos.format(a='e.v', b='c.cv')}, 12) AS ccos
+          FROM e CROSS JOIN c
+        ), rk AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ccos DESC, cid) AS rk
+          FROM sc
+        ), assigned AS (
+          SELECT vec_id, label, v, cid FROM rk WHERE rk = 1
+        ), probe AS (
+          SELECT cid, v AS q FROM rk WHERE vec_id = 0 AND rk <= 3
+        )
+        SELECT a.vec_id, a.label,
+               round({_cos.format(a='a.v', b='p.q')}, 6) AS cosine
+        FROM assigned a JOIN probe p USING (cid)
+        WHERE a.vec_id <> 0
+        ORDER BY cosine DESC, a.vec_id LIMIT 10
+    """
+
     o["multimodal_meta"] = """
         SELECT doc_id AS media_id, 'image' AS kind,
                octet_length(encode(text)) AS n_bytes,
@@ -564,7 +618,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # minhash_lsh_pairs, simhash_fingerprints, simhash_near_pairs,
-    # ann_lsh_buckets, ann_bucketed_topk: iterative/bit-twiddling shapes DuckDB
-    # can't express cleanly — rows-only driver check; exact oracles live in
-    # tests/test_webtext.py (brute-force Python).
+    # ann_lsh_buckets, ann_bucketed_topk, embedding_near_dup_lsh:
+    # iterative/bit-twiddling shapes DuckDB can't express cleanly — rows-only
+    # driver check; exact oracles live in tests/test_webtext.py (brute-force
+    # Python).
     return o

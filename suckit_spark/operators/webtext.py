@@ -307,6 +307,115 @@ def ann_bucketed_topk(embeddings: DataFrame, query_vec_id: int = 0,
     )
 
 
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact baseline: every (a, b)
+    pair with ``cosine >= threshold``. O(N^2) self-join — the correctness
+    backstop the LSH variant is checked against; at corpus scale use
+    :func:`embedding_near_dup_lsh`. The join is a broadcast of the smaller
+    (deduped) side only when Catalyst sizes it so; the cross shape is explicit
+    here because every pair genuinely must be scored."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.9,
+                           num_planes: int = 4, num_tables: int = 12,
+                           dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup, scale path: multi-table random-hyperplane
+    LSH. Each of ``num_tables`` independent tables hashes a vector to a
+    ``num_planes``-bit bucket; candidate pairs are generated only within a
+    (table, bucket) group — an equi-join on the bucket key, hash-partitioned,
+    never a cross join — then verified with the exact cosine and deduped
+    across tables with one aggregation. A pair at angle theta collides in at
+    least one table with probability ``1-(1-(1-theta/pi)^planes)^tables``
+    (~0.99 at cosine 0.9 with the defaults), while the exact filter keeps
+    precision at 1.0. Output schema matches :func:`embedding_near_dup`
+    (a subset of it, by construction)."""
+    planes = lsh_hyperplanes(dim, num_planes * num_tables)
+    tables = []
+    for t in range(num_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(num_planes):
+            plane = planes[t * num_planes + p]
+            dot = _dot(F.col("embedding"), F.array(*[F.lit(v) for v in plane]))
+            sig = sig + F.when(
+                dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
+    keyed = embeddings.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("vec_id", "embedding",
+             F.concat(F.col("tb.t").cast("string"), F.lit(":"),
+                      F.col("tb.sig").cast("string")).alias("bucket"))
+    a = keyed.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"))
+    b = keyed.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])      # union across tables
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, dim: int = 64) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_centroids``
+    cells by nearest centroid, then search only the query's ``n_probe``
+    closest cells. Centroids are deterministic (the vectors with the
+    ``n_centroids`` smallest vec_ids — a seeded sample at real scale, or
+    k-means centroids from ``pyspark.ml.clustering.KMeans`` when training
+    cost is warranted). Fully distributed: cell assignment is a JVM-side
+    expression over broadcast centroid literals; no driver-side collect."""
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    # Rows per vector per centroid via a broadcast join, ranked by cosine.
+    scored = embeddings.join(F.broadcast(cents))
+    ccos = _dot(F.col("embedding"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    # ccos is rounded before ranking so the assignment is stable across
+    # engines/summation orders (a last-ulp difference must not flip a cell).
+    ranked = scored.select(
+        "vec_id", "label", "embedding", "cid", F.round(ccos, 12).alias("ccos"),
+    ).withColumn("rk", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", "label", "embedding", "cid")
+    probe = ranked.filter(
+        (F.col("vec_id") == query_vec_id) & (F.col("rk") <= n_probe)).select(
+        F.col("cid"), F.col("embedding").alias("q"))
+    cand = assigned.join(F.broadcast(probe), "cid")
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("q"), F.col("q"))))
+    return (
+        cand.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

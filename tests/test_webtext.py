@@ -178,6 +178,64 @@ def test_ann_bucketed_topk_is_bucket_restricted(spark, emb):
     assert cosines == sorted(cosines, reverse=True)
 
 
+def test_embedding_near_dup_matches_python(spark, emb):
+    thr = 0.4
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in webtext.embedding_near_dup(emb, threshold=thr).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    ids = sorted(vecs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = round(py_cosine(vecs[a], vecs[b]), 6)
+            if c >= thr:
+                expect[(a, b)] = c
+    assert got == expect
+
+
+def test_embedding_near_dup_lsh_subset_with_recall(spark, emb):
+    thr = 0.4
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in webtext.embedding_near_dup(emb, threshold=thr).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cosine
+           for r in webtext.embedding_near_dup_lsh(
+               emb, threshold=thr, num_planes=4, num_tables=12).collect()}
+    # precision 1.0: every LSH pair is a true pair with the exact cosine
+    for pair, c in lsh.items():
+        assert exact[pair] == c
+    # recall: a cosine-0.4 pair collides in >=1 of 12 four-plane tables with
+    # prob ~0.87; assert a loose floor well below the expectation
+    assert exact, "test needs at least one true pair at this threshold"
+    assert len(lsh) / len(exact) >= 0.5
+
+
+def test_ivf_topk_true_cosines_and_recall(spark, emb):
+    got = webtext.ivf_topk(emb, query_vec_id=0, k=10,
+                           n_centroids=8, n_probe=3).collect()
+    assert len(got) == 10
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    q = vecs[0]
+    # reported cosines are the true cosines (IVF approximates the candidate
+    # set, never the metric)
+    for r in got:
+        assert r.cosine == round(py_cosine(vecs[r.vec_id], q), 6)
+    # recall vs exact top-10
+    exact = sorted(((vid, round(py_cosine(v, q), 6))
+                    for vid, v in vecs.items() if vid != 0),
+                   key=lambda t: (-t[1], t[0]))[:10]
+    hits = {r.vec_id for r in got} & {vid for vid, _ in exact}
+    assert len(hits) >= 5
+
+
+def test_ivf_probe_all_cells_equals_exact(spark, emb):
+    # with n_probe == n_centroids IVF degenerates to exact brute force
+    got = [(r.vec_id, r.cosine) for r in webtext.ivf_topk(
+        emb, query_vec_id=0, k=10, n_centroids=4, n_probe=4).collect()]
+    exact = [(r.vec_id, r.cosine) for r in
+             webtext.cosine_topk(emb, query_vec_id=0, k=10).collect()]
+    assert got == exact
+
+
 def test_exact_dedup_finds_real_dups(spark):
     rows = [(i, "same text here") for i in range(5)] + [(9, "unique")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
