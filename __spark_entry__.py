@@ -208,7 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seen = frontier
         for lvl in range(1, 5):
             nxt = (
-                edges.join(frontier, edges["src"] == frontier["node"])
+                edges.join(F.broadcast(frontier), edges["src"] == frontier["node"])
                 .select(F.col("dst").alias("node"))
                 .distinct()
                 .join(seen.select("node"), "node", "left_anti")

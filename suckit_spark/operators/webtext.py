@@ -80,31 +80,43 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     |A∪B| = |A|+|B|-|A∩B|.
 
     ``max_df`` (document-frequency cap) drops shingles present in more than
-    that many documents *before* the join — stop-shingle removal. Hot shingles
-    carry no dedup signal but produce O(df²) join fan-out; capping them bounds
-    the worst key's output. Jaccard is then computed over the surviving
-    shingle sets (both sides of the oracle comparison apply the same rule).
+    that many documents — stop-shingle removal. Hot shingles carry no dedup
+    signal but produce O(df²) fan-out; capping them bounds the worst key's
+    output. Jaccard is then computed over the surviving shingle sets (both
+    sides of the oracle comparison apply the same rule).
+
+    Physical shape: ONE shuffle of the exploded shingles (groupBy shingle →
+    posting list), then pairs are generated inside the bounded array (df ≤
+    max_df ⇒ ≤ max_df² structs) — no self-join, no second pass over the
+    shingle table, no separate df-count job. The bound is what makes the
+    in-array expansion safe; an uncapped variant must use the
+    equi-self-join form instead (see git history).
     """
     sh = _spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(tokens_col(), n))).alias("shingle"),
     )
+    postings = sh.groupBy("shingle").agg(
+        F.collect_list("doc_id").alias("docs"))
     if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(
-            df_counts.filter(F.col("df") <= max_df).select("shingle"),
-            "shingle")
-    # The tokenize+explode feeds three consumers (sizes + both self-join
-    # sides); persist it so the parse work runs once. MEMORY_AND_DISK: at
-    # corpus scale the exploded shingles spill rather than OOM.
-    sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        postings = postings.filter(F.size("docs") <= max_df)
+    postings = postings.persist()  # feeds sizes + pair generation
+
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("sz"))
+    )
+    ds = F.array_sort(F.col("docs"))
+    pair_structs = F.filter(
+        F.flatten(F.transform(
+            ds, lambda x: F.transform(ds, lambda y: F.struct(
+                x.alias("doc_a"), y.alias("doc_b"))))),
+        lambda s: s["doc_a"] < s["doc_b"],
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"),
+                 F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))

@@ -38,13 +38,18 @@ class CrawlCheckpoint:
         return max(steps) if steps else None
 
     # -- commit -------------------------------------------------------------
-    def commit(self, step: int, frontier: DataFrame, seen: DataFrame,
-               mirror_delta: DataFrame, log_delta: DataFrame,
+    def commit(self, step: int, frontier: DataFrame, seen_delta: DataFrame,
+               log_delta: DataFrame,
                metrics_delta: DataFrame, stats: dict) -> None:
+        """Publish superstep ``step``. ``seen_delta`` is only this superstep's
+        newly-seen URLs — the seen set is stored append-only (the Iceberg
+        shape), so a commit is O(delta), never O(total). The mirror delta is
+        written by the crawl loop itself (it doubles as the loop's
+        memory-spill of content bytes); the manifest publishing below is what
+        makes it part of the committed snapshot."""
         base = os.path.join(self.dir, f"step={step:06d}")
         frontier.write.mode("overwrite").parquet(os.path.join(base, "frontier"))
-        seen.write.mode("overwrite").parquet(os.path.join(base, "seen"))
-        mirror_delta.write.mode("overwrite").parquet(os.path.join(base, "mirror"))
+        seen_delta.write.mode("overwrite").parquet(os.path.join(base, "seen"))
         log_delta.write.mode("overwrite").parquet(os.path.join(base, "crawl_log"))
         metrics_delta.write.mode("overwrite").parquet(os.path.join(base, "metrics"))
 
@@ -76,11 +81,10 @@ class CrawlCheckpoint:
         out = {
             "superstep": step,
             "frontier": read.parquet(os.path.join(base, "frontier")),
-            "seen": read.parquet(os.path.join(base, "seen")),
         }
-        # Mirror/log/metrics deltas accumulate across steps; union all
+        # Seen/mirror/log/metrics deltas accumulate across steps; union all
         # committed steps' deltas.
-        for name in ("mirror", "crawl_log", "metrics"):
+        for name in ("seen", "mirror", "crawl_log", "metrics"):
             parts = []
             for s in range(step + 1):
                 p = os.path.join(self.dir, f"step={s:06d}", name)

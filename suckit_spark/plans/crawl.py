@@ -28,6 +28,8 @@ one window over the final log.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
 from dataclasses import dataclass, field as dc_field
 
@@ -118,6 +120,14 @@ def crawl(
     pages = _normalize_pages(pages)
     ckpt = CrawlCheckpoint(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
+    # Content-bearing superstep output is streamed to table storage (the
+    # Iceberg-append shape; Parquet fallback), never accumulated in executor
+    # memory: at 10^10-URL scale a crawl's mirror is far bigger than cluster
+    # RAM, and even at bench scale pinning every superstep's rewritten bytes
+    # in the block manager causes GC/eviction thrash. The checkpoint dir
+    # doubles as that storage; without one, a temp spill dir serves.
+    spill_dir = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="suckit_spill_")
+
     # The seen set is kept as a list of per-superstep delta DataFrames (each
     # one already materialized): the anti-join reads their lazy union, so a
     # superstep never pays to re-copy the whole accumulated seen table —
@@ -142,6 +152,11 @@ def crawl(
     pipeline = make_page_pipeline(cfg)
     wall_times: list[float] = []
     seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
+    # Seen rows not yet covered by a committed snapshot (the seed row on a
+    # fresh start; empty on resume — everything loaded was committed). Each
+    # commit flushes these so the append-only seen log stays complete.
+    pending_seen = [] if (resume and ckpt is not None
+                          and step > 0) else list(seen_deltas)
 
     robots_udf = None
     if cfg.respect_robots:
@@ -194,9 +209,34 @@ def crawl(
             fetched = frontier_ops.repartition_frontier(
                 fetched, n_parts, cfg.skew_salt_buckets)
 
-        # P1-P11 fused in one Arrow stage.
+        # P1-P11 fused in one Arrow stage. Reused 4× downstream: cached
+        # SERIALIZED (content bytes stored compact, spill to disk, no
+        # deserialized-object heap blowup); lineage stays short because the
+        # frontier side is checkpointed each superstep.
+        from pyspark import StorageLevel
         result = fetched.mapInPandas(pipeline, PAGE_RESULT_SCHEMA)
-        result = result.localCheckpoint(eager=True)  # reused 4×; cut lineage
+        # (PySpark's MEMORY_AND_DISK constant is the serialized variant)
+        result = result.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # Stream this superstep's mirror delta straight to table storage and
+        # swap the in-memory plan for the parquet-backed read (Iceberg-append
+        # semantics). This is also the action that populates the cache.
+        mirror_delta = (
+            result.filter((F.col("status") == "ok") & F.col("download"))
+            .select(
+                "url", "path", "filename", "content", "superstep",
+                F.when(
+                    F.col("filename").isNotNull(),
+                    _symlink_target_col(),
+                ).alias("symlink_target"),
+            )
+            if not cfg.dry_run else result.limit(0).select(
+                "url", "path", "filename", "content", "superstep",
+                F.lit(None).cast("string").alias("symlink_target"))
+        )
+        mirror_path = os.path.join(spill_dir, f"step={step:06d}", "mirror")
+        mirror_delta.write.mode("overwrite").parquet(mirror_path)
+        mirror_delta = spark.read.parquet(mirror_path)
 
         # C6: error policy.
         if not cfg.continue_on_error:
@@ -262,23 +302,12 @@ def crawl(
             next_frontier = next_frontier.unionByName(
                 deferred.withColumn("superstep", F.lit(step + 1)))
 
-        # Deltas for this superstep.
-        mirror_delta = (
-            result.filter((F.col("status") == "ok") & F.col("download"))
-            .select(
-                "url", "path", "filename", "content", "superstep",
-                F.when(
-                    F.col("filename").isNotNull(),
-                    _symlink_target_col(),
-                ).alias("symlink_target"),
-            )
-            if not cfg.dry_run else result.limit(0).select(
-                "url", "path", "filename", "content", "superstep",
-                F.lit(None).cast("string").alias("symlink_target"))
-        )
+        # Small (content-free) deltas for this superstep: materialized so the
+        # heavyweight ``result`` cache can be released at superstep end.
         log_delta = result.select(
             "url", "depth", "ext_depth", "superstep", "order_key",
-            F.col("download").alias("downloaded"), "status")
+            F.col("download").alias("downloaded"), "status",
+        ).localCheckpoint(eager=True)
         metrics_delta = (
             result.groupBy(
                 F.lit(step).alias("superstep"),
@@ -289,7 +318,7 @@ def crawl(
                 F.sum((F.col("status") == "error").cast("long")).alias("errors"),
                 F.lit(0).cast("long").alias("new_urls"),
             )
-        )
+        ).localCheckpoint(eager=True)
 
         # Commit the superstep. next_frontier is a cheap projection over the
         # already-checkpointed new_urls, so it only needs its own
@@ -299,29 +328,33 @@ def crawl(
             next_frontier = next_frontier.localCheckpoint(eager=True)
         new_count = new_urls.count()
         seen_count += new_count
-        seen_deltas.append(new_urls.select(
-            "url", F.lit(step).alias("superstep")))
+        seen_delta = new_urls.select("url", F.lit(step).alias("superstep"))
+        seen_deltas.append(seen_delta)
+        pending_seen.append(seen_delta)
         seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
         frontier = next_frontier
         frontier_count = frontier.count()
 
-        # Deltas derive from the already-checkpointed ``result`` — short
-        # lineage, no extra materialization needed here.
+        # mirror is parquet-backed, log/metrics localCheckpointed — the
+        # content-bearing superstep cache is no longer needed.
         mirror_deltas.append(mirror_delta)
         log_deltas.append(log_delta)
         metric_deltas.append(metrics_delta)
+        result.unpersist()
 
         wall = time.monotonic() - t0
         wall_times.append(wall)
         if ckpt is not None:
             ckpt.commit(
                 step,
-                frontier=frontier, seen=seen,
-                mirror_delta=mirror_delta, log_delta=log_delta,
+                frontier=frontier,
+                seen_delta=_union_all(spark, pending_seen, SEEN_SCHEMA),
+                log_delta=log_delta,
                 metrics_delta=metrics_delta,
                 stats={"frontier_rows": frontier_count, "new_urls": new_count,
                        "wall_sec": wall},
             )
+            pending_seen = []
         step += 1
 
     spark_ = spark

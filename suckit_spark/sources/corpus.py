@@ -33,9 +33,13 @@ def page_url(host_i: int, page_j: int, n_hosts: int) -> str:
 
 
 def page_body(host_i: int, page_j: int, n_hosts: int, pages: int,
-              fanout: int, seed: int) -> bytes:
+              fanout: int, seed: int, body_kb: int = 0) -> bytes:
     """Render one page: ``fanout`` same-host links (deterministic stride) and
-    one cross-host link."""
+    one cross-host link. ``body_kb`` pads the page with deterministic filler
+    paragraphs to roughly that many KiB — real Common-Crawl pages are tens of
+    KB, and a compute-representative corpus needs the parse/rewrite stage to
+    scan realistic byte volumes (the scaling bench sets this; unit tests keep
+    it 0 for speed)."""
     links = []
     for k in range(1, fanout + 1):
         target = (page_j * k + k + seed) % pages
@@ -44,18 +48,27 @@ def page_body(host_i: int, page_j: int, n_hosts: int, pages: int,
     cross_page = (page_j * 7 + seed) % pages
     links.append(
         f'<a href="http://{host_name(cross_host, n_hosts)}/p{cross_page}.html">x</a>')
+    filler = ""
+    if body_kb > 0:
+        para = (f"<p>Filler paragraph {{i}} for host {host_i} page {page_j} "
+                f"seed {seed}: the quick brown fox jumps over the lazy dog "
+                "while zero-copy Arrow batches stream columnar bytes through "
+                "a fused scan stage.</p>\n")
+        per = len(para)
+        n_paras = max(1, (body_kb * 1024) // per)
+        filler = "".join(para.format(i=i) for i in range(n_paras))
     body = (
         "<!DOCTYPE html>\n<html><head><meta charset=\"UTF-8\">"
         f"<title>h{host_i} p{page_j}</title></head>\n<body>\n"
         f"<p>Deterministic sentence for host {host_i} page {page_j} "
-        f"seed {seed}.</p>\n" + "\n".join(links) + "\n</body></html>\n"
+        f"seed {seed}.</p>\n" + filler + "\n".join(links) + "\n</body></html>\n"
     )
     return body.encode("utf-8")
 
 
 def page_row(host_i: int, page_j: int, n_hosts: int, pages: int,
-             fanout: int, seed: int) -> dict:
-    body = page_body(host_i, page_j, n_hosts, pages, fanout, seed)
+             fanout: int, seed: int, body_kb: int = 0) -> dict:
+    body = page_body(host_i, page_j, n_hosts, pages, fanout, seed, body_kb)
     return {
         "url": page_url(host_i, page_j, n_hosts),
         "warc_ts": WARC_TS,
@@ -72,19 +85,21 @@ def page_row(host_i: int, page_j: int, n_hosts: int, pages: int,
 
 
 def gen_corpus_rows(n_hosts: int, pages_per_host: int, fanout: int = 3,
-                    mega_host_factor: int = 1, seed: int = 42) -> list[dict]:
+                    mega_host_factor: int = 1, seed: int = 42,
+                    body_kb: int = 0) -> list[dict]:
     """Driver-side generation (tests only — small corpora)."""
     rows = []
     for i in range(n_hosts):
         pages = pages_per_host * (mega_host_factor if i == 0 else 1)
         for j in range(pages):
-            rows.append(page_row(i, j, n_hosts, pages, fanout, seed))
+            rows.append(page_row(i, j, n_hosts, pages, fanout, seed, body_kb))
     return rows
 
 
 def gen_corpus_df(spark: SparkSession, n_hosts: int, pages_per_host: int,
                   fanout: int = 3, mega_host_factor: int = 1,
-                  seed: int = 42, partitions: int | None = None) -> DataFrame:
+                  seed: int = 42, partitions: int | None = None,
+                  body_kb: int = 0) -> DataFrame:
     """Distributed generation: explode (host, page) index space executor-side,
     render bodies in a vectorized stage."""
     import pandas as pd
@@ -105,7 +120,7 @@ def gen_corpus_df(spark: SparkSession, n_hosts: int, pages_per_host: int,
         for pdf in batches:
             out = [
                 page_row(int(r.host_i), int(r.page_j), n_hosts, int(r.pages),
-                         fanout, seed)
+                         fanout, seed, body_kb)
                 for r in pdf.itertuples()
             ]
             yield pd.DataFrame(out)
