@@ -152,6 +152,15 @@ def main_scaling():
     import subprocess
     import tempfile
 
+    # Measurement hygiene: another live Spark JVM on this machine skews both
+    # levels (and skews them unequally). Refuse to measure on a dirty box.
+    probe = subprocess.run(["pgrep", "-f", "SparkSubmit|pyspark.daemon"],
+                           capture_output=True, text=True)
+    if probe.stdout.strip():
+        raise SystemExit(
+            "refusing to run --scaling: live Spark processes found "
+            f"(pids {probe.stdout.split()}); stop them first")
+
     root = os.path.dirname(os.path.abspath(__file__))
     spark_submit = os.path.join(
         os.path.dirname(__import__("pyspark").__file__), "bin", "spark-submit")
@@ -171,7 +180,14 @@ def main_scaling():
         zpath = _build_pyfiles_zip(tmp)
         for cpus in (8, 32):
             stats_file = os.path.join(tmp, f"stats_{cpus}.json")
+            # Pin the whole job (JVM + forked Python workers) to exactly
+            # `cpus` physical CPUs: local[N] alone only caps concurrent
+            # TASKS — its Python workers land on other cores, silently
+            # giving the "N-core" run ~2N cores and corrupting the scaling
+            # ratio. taskset makes N mean N, like an executor's cgroup on a
+            # real cluster.
             cmd = [
+                "taskset", "-c", f"0-{cpus - 1}",
                 spark_submit,
                 "--master", f"local[{cpus}]",
                 "--driver-memory", "48g",

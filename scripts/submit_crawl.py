@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -39,6 +40,8 @@ def main() -> None:
     ap.add_argument("--body-kb", type=int, default=0,
                     help="pad synthetic pages to ~N KiB (compute-"
                          "representative corpus)")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="bucket count for the generated pages table")
     ap.add_argument("--pages-parquet", default=None,
                     help="read the pages corpus from parquet instead of "
                          "generating it")
@@ -57,9 +60,16 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The generated pages table is bucketed+sorted with one file per
+        # bucket; this lets the fetch-join SMJ consume the on-disk order
+        # directly (no per-superstep re-sort of the corpus).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # Bound the Arrow batch so python workers stream ~100 MB peaks
+        # instead of materializing a whole partition of 64 KiB pages.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
     )
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(os.environ.get("SUCKIT_LOG_LEVEL", "ERROR"))
     cores = spark.sparkContext.defaultParallelism
     if args.shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions",
@@ -77,12 +87,29 @@ def main() -> None:
         if origin is None:
             raise SystemExit("--origin is required with --pages-parquet")
     else:
-        from pyspark import StorageLevel
-        pages = corpus.gen_corpus_df(
+        import tempfile
+
+        gen = corpus.gen_corpus_df(
             spark, args.hosts, args.pages_per_host, fanout=args.fanout,
             mega_host_factor=args.mega_factor, partitions=cores * 2,
             body_kb=args.body_kb,
-        ).persist(StorageLevel.MEMORY_AND_DISK)  # serialized columnar-ish rows
+        )
+        # Fetch-side table bucketed by the join key (the sandbox stand-in for
+        # Iceberg ``bucket(N, url)``): the per-superstep fetch join then
+        # exchanges only the frontier — the corpus scan reuses the bucket
+        # partitioning (crawl.py). Pre-repartition on the bucket key yields
+        # one file per bucket, so the on-disk sort order survives and SMJ
+        # skips the sort too. Bucket count is fixed (not tied to this run's
+        # cores) so N- and 4N-core runs read the identical table layout.
+        bucket_dir = os.path.join(
+            tempfile.mkdtemp(prefix="suckit_corpus_"), "pages_bucketed")
+        n_buckets = args.buckets
+        (gen.repartition(n_buckets, "url")
+            .write.format("parquet")
+            .bucketBy(n_buckets, "url").sortBy("url")
+            .option("path", bucket_dir).mode("overwrite")
+            .saveAsTable("pages_bucketed"))
+        pages = spark.table("pages_bucketed")
         origin = args.origin or corpus.page_url(0, 0, args.hosts)
     n_pages = pages.count()  # materialize before timing
 
@@ -104,6 +131,7 @@ def main() -> None:
         "urls_visited": visited,
         "supersteps": result.supersteps,
         "superstep_wall_sec": [round(w, 3) for w in result.wall_times],
+        "phase_times": result.phase_times,
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(visited / wall, 1),
         "cores": cores,
@@ -116,6 +144,13 @@ def main() -> None:
         with open(args.stats_file, "w") as f:
             f.write(line + "\n")
     spark.stop()
+    # Clean up the run's scratch (generated corpus table + mirror spill) —
+    # everything the caller needs is in the stats/mirror-out.
+    import shutil
+    if result.spill_dir and not args.checkpoint_dir:
+        shutil.rmtree(result.spill_dir, ignore_errors=True)
+    if not args.pages_parquet:
+        shutil.rmtree(os.path.dirname(bucket_dir), ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -143,10 +143,9 @@ class _SpanScanner(HTMLParser):
         super().__init__(convert_charrefs=True)
         self._text = text
         # Absolute offset of the start of each line (for getpos -> offset).
-        self._line_starts = [0]
-        for i, ch in enumerate(text):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+        # C-speed newline scan — a per-character Python loop here costs more
+        # than the parse itself on large pages.
+        self._line_starts = [0] + [m.end() for m in re.finditer("\n", text)]
         #: list of (attr, raw_value, unescaped_value, abs_start, abs_end)
         self.links: list[tuple[str, str, str, int, int]] = []
         self.text_chunks: list[str] = []
@@ -207,22 +206,34 @@ class _SpanScanner(HTMLParser):
             self.text_chunks.append(data)
 
 
-def scan_links(text: str):
-    """All src/href attribute values in document order.
+def scan_page(text: str):
+    """ONE parser pass producing both link spans and visible text.
 
-    Returns a list of dicts: {attr, raw, value, start, end} where [start, end)
-    is the value's span in ``text`` and ``value`` is the entity-unescaped form
-    (what kuchiki's attribute map holds, dom.rs:34-53)."""
+    The hot path (page pipeline P4 + the text-extraction contract) needs both;
+    ``_SpanScanner`` already collects both in a single ``feed``, so parsing
+    twice — once for links, once for text — would double the dominant cost of
+    the per-page stage. Returns ``(links, text)`` with links as in
+    :func:`scan_links`."""
     scanner = _SpanScanner(text)
     try:
         scanner.feed(text)
         scanner.close()
     except Exception:
         pass  # tolerate malformed tails; spans found so far remain valid
-    return [
+    links = [
         {"attr": a, "raw": r, "value": v, "start": s, "end": e}
         for (a, r, v, s, e) in scanner.links
     ]
+    return links, "".join(scanner.text_chunks)
+
+
+def scan_links(text: str):
+    """All src/href attribute values in document order.
+
+    Returns a list of dicts: {attr, raw, value, start, end} where [start, end)
+    is the value's span in ``text`` and ``value`` is the entity-unescaped form
+    (what kuchiki's attribute map holds, dom.rs:34-53)."""
+    return scan_page(text)[0]
 
 
 def splice(text: str, replacements: list[tuple[int, int, str]]) -> str:
@@ -244,10 +255,4 @@ def extract_text(text: str) -> str:
     """Deterministic visible-text extraction: character data outside
     script/style, concatenated in document order. This defines the engine's
     ``text`` column contract (byte-identical per url, BASELINE.json:input_hint)."""
-    scanner = _SpanScanner(text)
-    try:
-        scanner.feed(text)
-        scanner.close()
-    except Exception:
-        pass
-    return "".join(scanner.text_chunks)
+    return scan_page(text)[1]

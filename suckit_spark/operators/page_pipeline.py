@@ -87,7 +87,11 @@ def process_page(cfg: CrawlConfig, url: str, body: bytes,
     source_path = urlkit.to_path(url, False)
     links: list[dict] = []
     replacements: list[tuple[int, int, str]] = []
-    for pos, link in enumerate(htmlkit.scan_links(text)):
+    # ONE parser pass yields both the link spans (P4) and the visible text
+    # (the engine's text-column contract) — parsing twice would double the
+    # dominant per-page cost.
+    scanned_links, page_text = htmlkit.scan_page(text)
+    for pos, link in enumerate(scanned_links):
         raw = link["value"]
         if not cfg.visit_ok(raw):
             continue
@@ -116,7 +120,7 @@ def process_page(cfg: CrawlConfig, url: str, body: bytes,
         "content": out,
         "filename": None,  # content-disposition applies to non-html only
         "charset": charset,
-        "page_text": htmlkit.extract_text(text),
+        "page_text": page_text,
         "links": links,
     }
 

@@ -7,13 +7,15 @@ discipline maps 1:1 onto a driver loop of set-oriented DataFrame operations:
 
     superstep s:
       frontier_s  --politeness budget-->  (selected, deferred)
-        --repartition(url hash + salt)-->
-        --LEFT JOIN pages ON fetch_url-->                 (the "fetch")
+        --LEFT JOIN pages ON fetch_url-->                 (the "fetch": the
+              join exchange hash-partitions the frontier by canonical URL;
+              the pages side is bucketed by url, so it never shuffles)
         --mapInPandas(page pipeline P1-P11)-->            (one Arrow stage)
+        --mirror delta -> parquet (Iceberg-append shape)-->
         --posexplode(links)--> candidates
         --first-wins window dedup--> --bloom + anti-join seen-->
         --depth gates--> frontier_{s+1} (∪ deferred)
-      append mirror / crawl_log / seen / metrics; commit snapshot
+      append crawl_log / seen / metrics; commit snapshot
     until frontier empty                                   (exact termination;
                                        the reference polls an empty channel 10
                                        times, scraper.rs:315-321 — BSP needs no
@@ -51,11 +53,6 @@ class CrawlAbort(RuntimeError):
     """Fetch failure without --continue-on-error (scraper.rs:275-281)."""
 
 
-#: Frontier rows small enough to broadcast into the fetch join. At the 10^10
-#: design point the frontier side is large and Catalyst picks a sort-merge
-#: join against the bucketed pages table instead; the hint only applies when
-#: the superstep is genuinely small (tail supersteps, fixture sites).
-BROADCAST_FRONTIER_MAX = 200_000
 
 
 @dataclass
@@ -66,6 +63,12 @@ class CrawlResult:
     metrics: DataFrame
     supersteps: int
     wall_times: list[float] = dc_field(default_factory=list)
+    #: per-superstep phase breakdown (fetch+parse+mirror write / small deltas
+    #: / candidate dedup / commit), for scaling diagnosis
+    phase_times: list[dict] = dc_field(default_factory=list)
+    #: parquet spill dir holding mirror deltas (delete only after consuming
+    #: result.mirror)
+    spill_dir: str | None = None
 
     def materialize_mirror(self, output_dir: str) -> None:
         """Write the actual file tree (disk.rs parity): bytes per path, plus
@@ -118,6 +121,14 @@ def crawl(
 ) -> CrawlResult:
     """Run the full crawl; returns result DataFrames (nothing collected)."""
     pages = _normalize_pages(pages)
+    # Column-prune the fetch side once: the page pipeline consumes the raw
+    # body + fetch metadata; ``text``/``lang``/``warc_ts`` are corpus
+    # annotations it never reads. Pruning here (not relying on Catalyst,
+    # which cannot prune through the vUDF's opaque column use) keeps ~half
+    # the corpus bytes out of every superstep's scan/decode.
+    fetch_pages = pages.select(
+        "url", "html", "content_type", "content_disposition",
+        "requires_auth", "auth_user", "auth_pass", "status")
     ckpt = CrawlCheckpoint(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
     # Content-bearing superstep output is streamed to table storage (the
@@ -151,6 +162,7 @@ def crawl(
 
     pipeline = make_page_pipeline(cfg)
     wall_times: list[float] = []
+    phase_times: list[dict] = []
     seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
     # Seen rows not yet covered by a committed snapshot (the seed row on a
     # fresh start; empty on resume — everything loaded was committed). Each
@@ -173,41 +185,30 @@ def crawl(
         # C3: per-host politeness budget — overflow defers, order preserved.
         selected, deferred = frontier_ops.apply_host_budget(frontier, cfg.host_budget)
 
-        # S2/S3: the fetch = outer join against the pages corpus, preserving
-        # every frontier row (a missing page is a fetch error, not a dropped
-        # row). When the frontier is provably small, broadcast it and stream
-        # the pages scan past it (right-outer + broadcast left is the only
-        # broadcastable shape that preserves the frontier side); at the 10^10
-        # design point the frontier is large and Catalyst picks a sort-merge
-        # join against the bucketed pages table.
-        pages_k = pages.withColumnRenamed("url", "page_url")
-        broadcast_path = frontier_count <= BROADCAST_FRONTIER_MAX
-        if broadcast_path:
-            fetched = pages_k.join(
-                F.broadcast(selected),
-                on=F.col("fetch_url") == F.col("page_url"),
-                how="right",
-            )
-        else:
-            fetched = selected.join(
-                pages_k,
-                on=F.col("fetch_url") == F.col("page_url"),
-                how="left",
-            )
+        # S2/S3: the fetch = LEFT OUTER join against the pages corpus,
+        # preserving every frontier row (a missing page is a fetch error, not
+        # a dropped row). Shuffle discipline: only the FRONTIER side may be
+        # exchanged — the join key is the canonical URL, so that exchange IS
+        # the explicit url-hash repartition of each superstep (north_rule);
+        # the pages side must expose a reusable url partitioning (Iceberg
+        # ``bucket(N, url)`` at the 10^10 design point; a parquet ``bucketBy``
+        # table in the sandbox, scripts/submit_crawl.py) so its scan avoids
+        # both exchange and sort. A flat un-bucketed corpus still works but
+        # re-shuffles the corpus per superstep — correct, not scale-shaped.
+        # (Broadcasting a small frontier is NOT an option here: Spark cannot
+        # build the preserved side of an outer join, so a broadcast hint on
+        # the frontier of a right-outer join silently degrades to shuffling
+        # the whole corpus.) Host-skew salting applies to the host-keyed
+        # stages (budget window, metrics), not this url-keyed join — url
+        # hashes of one mega-host already spread uniformly.
+        pages_k = fetch_pages.withColumnRenamed("url", "page_url")
+        fetched = selected.join(
+            pages_k,
+            on=F.col("fetch_url") == F.col("page_url"),
+            how="left",
+        )
         fetched = fetched.withColumn(
             "found", F.col("page_url").isNotNull()).drop("page_url")
-
-        # C1/C4: spread the parse stage (url hash + salt), sized to the
-        # superstep: a broadcast join inherits the pages scan's partitioning,
-        # which would launch one Python task per corpus partition even for a
-        # 1-row frontier — repartition the (frontier-row-count-sized) join
-        # output instead of the corpus. The SMJ path is already partitioned
-        # by the join key; AQE coalesces/splits it.
-        if broadcast_path:
-            cap = cfg.frontier_partitions or spark.sparkContext.defaultParallelism
-            n_parts = max(1, min(cap, frontier_count // 256 + 1))
-            fetched = frontier_ops.repartition_frontier(
-                fetched, n_parts, cfg.skew_salt_buckets)
 
         # P1-P11 fused in one Arrow stage. Reused 4× downstream: cached
         # SERIALIZED (content bytes stored compact, spill to disk, no
@@ -235,7 +236,9 @@ def crawl(
                 F.lit(None).cast("string").alias("symlink_target"))
         )
         mirror_path = os.path.join(spill_dir, f"step={step:06d}", "mirror")
+        t_fetch0 = time.monotonic()
         mirror_delta.write.mode("overwrite").parquet(mirror_path)
+        t_fetch = time.monotonic() - t_fetch0
         mirror_delta = spark.read.parquet(mirror_path)
 
         # C6: error policy.
@@ -245,6 +248,7 @@ def crawl(
                 raise CrawlAbort(f"Couldn't download a page: {err[0].url}")
 
         # P4-P8: explode candidates, gate, dedup, grow the seen set.
+        t_cand0 = time.monotonic()
         cand = (
             result.select(
                 F.col("url").alias("parent_url"),
@@ -276,6 +280,7 @@ def crawl(
             bloom_fpp=cfg.bloom_fpp,
         )
         new_urls = new_urls.localCheckpoint(eager=True)
+        t_cand = time.monotonic() - t_cand0
 
         # F5/F6: depth gates choose which newly-seen URLs are actually fetched.
         local_gate = (
@@ -304,6 +309,7 @@ def crawl(
 
         # Small (content-free) deltas for this superstep: materialized so the
         # heavyweight ``result`` cache can be released at superstep end.
+        t_deltas0 = time.monotonic()
         log_delta = result.select(
             "url", "depth", "ext_depth", "superstep", "order_key",
             F.col("download").alias("downloaded"), "status",
@@ -319,6 +325,7 @@ def crawl(
                 F.lit(0).cast("long").alias("new_urls"),
             )
         ).localCheckpoint(eager=True)
+        t_deltas = time.monotonic() - t_deltas0
 
         # Commit the superstep. next_frontier is a cheap projection over the
         # already-checkpointed new_urls, so it only needs its own
@@ -344,6 +351,13 @@ def crawl(
 
         wall = time.monotonic() - t0
         wall_times.append(wall)
+        phase_times.append({
+            "superstep": step,
+            "fetch_parse_mirror": round(t_fetch, 3),
+            "small_deltas": round(t_deltas, 3),
+            "cand_dedup": round(t_cand, 3),
+            "rest": round(wall - t_fetch - t_deltas - t_cand, 3),
+        })
         if ckpt is not None:
             ckpt.commit(
                 step,
@@ -372,7 +386,8 @@ def crawl(
 
     return CrawlResult(
         mirror=mirror, crawl_log=log, seen=seen, metrics=metrics,
-        supersteps=step, wall_times=wall_times,
+        supersteps=step, wall_times=wall_times, phase_times=phase_times,
+        spill_dir=spill_dir,
     )
 
 
