@@ -8,10 +8,11 @@ at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "crawl": {...}}
 
-Scaling mode (``--scaling``, north_rule evidence): runs the identical crawl
-job at local[8] (N) and local[32] (4N) in fresh JVMs on the same input and
-writes throughput at both levels plus the scaling efficiency to
-BENCH/BASELINE.md.
+Scaling mode (``--scaling``, north_rule evidence): submits the identical
+crawl job via spark-submit at local[N] and local[4N] (default 4 vs 16 task
+slots — sized so even the 4N level keeps the shared box unstarved) on the
+same input and writes throughput at both levels plus the scaling efficiency
+to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -178,16 +179,19 @@ def main_scaling():
     results = {}
     with tempfile.TemporaryDirectory() as tmp:
         zpath = _build_pyfiles_zip(tmp)
-        for cpus in (8, 32):
+        # Level sizing: a local[n] task slot drives ~2 OS threads (the JVM
+        # task thread plus its Arrow python worker), and the driver needs
+        # headroom too. Sizing 4N so total thread demand stays within the
+        # 32-CPU box (16 slots ~ 32+ threads) keeps both levels unstarved —
+        # the same reason a real cluster sizes executors to node cores.
+        # Pinning (taskset) was tried and rejected: starving the forked
+        # python workers and driver inside the pinned set produced wild
+        # per-superstep variance, which is an artifact of one shared box,
+        # not of the dataflow being measured.
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+        for cpus in (n_small, n_small * 4):
             stats_file = os.path.join(tmp, f"stats_{cpus}.json")
-            # Pin the whole job (JVM + forked Python workers) to exactly
-            # `cpus` physical CPUs: local[N] alone only caps concurrent
-            # TASKS — its Python workers land on other cores, silently
-            # giving the "N-core" run ~2N cores and corrupting the scaling
-            # ratio. taskset makes N mean N, like an executor's cgroup on a
-            # real cluster.
             cmd = [
-                "taskset", "-c", f"0-{cpus - 1}",
                 spark_submit,
                 "--master", f"local[{cpus}]",
                 "--driver-memory", "48g",
@@ -209,14 +213,15 @@ def main_scaling():
             with open(stats_file) as f:
                 results[cpus] = json.loads(f.read())["crawl"]
 
-    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
-    u8, u32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    lo, hi = n_small, n_small * 4
+    t8, t32 = results[lo]["wall_sec"], results[hi]["wall_sec"]
+    u8, u32 = results[lo]["urls_per_sec"], results[hi]["urls_per_sec"]
     eff = (t8 / t32) / 4
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — crawl throughput & scaling evidence
 
-Same job, same deterministic input ({results[8]['corpus_pages']} pages,
+Same job, same deterministic input ({results[lo]['corpus_pages']} pages,
 {s_hosts} hosts, ~{s_body_kb} KiB/page, fanout {s_fanout}, mega-host factor
 {s_mega}), two parallelism levels
 (sandbox realization of the N vs 4N executor criterion, BASELINE.md), each
@@ -226,8 +231,8 @@ real cluster uses with `--master yarn --num-executors {{N,4N}}`:
 
 | level | cores | wall (s) | URLs/sec | supersteps |
 |---|---|---|---|---|
-| N | 8 | {t8} | {u8} | {results[8]['supersteps']} |
-| 4N | 32 | {t32} | {u32} | {results[32]['supersteps']} |
+| N | {lo} | {t8} | {u8} | {results[lo]['supersteps']} |
+| 4N | {hi} | {t32} | {u32} | {results[hi]['supersteps']} |
 
 Scaling efficiency `eff = (T_N / T_4N) / 4` = **{eff:.3f}** (target >= 0.8
 means wall-time improves 3.2x+ from 4x cores; values below reflect
@@ -236,13 +241,14 @@ fixed-cost superstep barriers at this corpus size — see BENCH notes).
 Throughput ratio u_4N / u_N = {u32 / max(u8, 1e-9):.2f}x.
 
 Per-superstep wall times (s):
-- N=8: {results[8]['superstep_wall_sec']}
-- 4N=32: {results[32]['superstep_wall_sec']}
+- N={lo}: {results[lo]['superstep_wall_sec']}
+- 4N={hi}: {results[hi]['superstep_wall_sec']}
 
 Reproduce: `python bench.py --scaling` (packages suckit_spark.zip and runs
 both spark-submit jobs).
 """)
-    print(json.dumps({"eff": eff, "n8": results[8], "n32": results[32]}))
+    print(json.dumps({"eff": eff, "n_small": lo,
+                      "n8": results[lo], "n32": results[hi]}))
 
 
 if __name__ == "__main__":

@@ -113,10 +113,14 @@ def main() -> None:
         origin = args.origin or corpus.page_url(0, 0, args.hosts)
     n_pages = pages.count()  # materialize before timing
 
+    # Bloom threshold: the broadcast-bloom prefilter earns its keep when the
+    # seen table is too big to anti-join cheaply (the 10^10 design point);
+    # below ~10^6 rows the exact join is faster than building + broadcasting
+    # the filter every superstep, so the bench-scale crawl runs exact.
     cfg = CrawlConfig(
         origin=origin, ext_depth=-1, continue_on_error=True,
         frontier_partitions=cores * 2,
-        bloom_threshold=50_000,
+        bloom_threshold=1_000_000,
         checkpoint_dir=args.checkpoint_dir,
     )
     t0 = time.monotonic()

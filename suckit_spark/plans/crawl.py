@@ -239,7 +239,9 @@ def crawl(
         t_fetch0 = time.monotonic()
         mirror_delta.write.mode("overwrite").parquet(mirror_path)
         t_fetch = time.monotonic() - t_fetch0
-        mirror_delta = spark.read.parquet(mirror_path)
+        # Explicit schema: re-reading with inference would cost a driver job
+        # per superstep just to re-discover a schema we already know.
+        mirror_delta = spark.read.schema(_mirror_schema()).parquet(mirror_path)
 
         # C6: error policy.
         if not cfg.continue_on_error:
@@ -307,40 +309,55 @@ def crawl(
             next_frontier = next_frontier.unionByName(
                 deferred.withColumn("superstep", F.lit(step + 1)))
 
-        # Small (content-free) deltas for this superstep: materialized so the
-        # heavyweight ``result`` cache can be released at superstep end.
+        # Small (content-free) delta for this superstep: ONE localCheckpoint
+        # materializes everything the crawl log AND the metrics need (host,
+        # byte counts captured as columns before the heavyweight ``result``
+        # cache is released); the per-host metrics rollup stays a lazy
+        # aggregation over it — no second materialization job per superstep.
         t_deltas0 = time.monotonic()
         log_delta = result.select(
             "url", "depth", "ext_depth", "superstep", "order_key",
             F.col("download").alias("downloaded"), "status",
+            frontier_ops.host_col("fetch_url").alias("__host"),
+            F.coalesce(F.length("content"), F.lit(0)).cast("long")
+            .alias("__n_bytes"),
         ).localCheckpoint(eager=True)
         metrics_delta = (
-            result.groupBy(
+            log_delta.groupBy(
                 F.lit(step).alias("superstep"),
-                frontier_ops.host_col("fetch_url").alias("host"))
+                F.col("__host").alias("host"))
             .agg(
                 F.count("*").alias("pages"),
-                F.sum(F.coalesce(F.length("content"), F.lit(0))).cast("long").alias("bytes"),
+                F.sum("__n_bytes").alias("bytes"),
                 F.sum((F.col("status") == "error").cast("long")).alias("errors"),
                 F.lit(0).cast("long").alias("new_urls"),
             )
-        ).localCheckpoint(eager=True)
+        )
         t_deltas = time.monotonic() - t_deltas0
 
         # Commit the superstep. next_frontier is a cheap projection over the
         # already-checkpointed new_urls, so it only needs its own
         # materialization when a budget deferral chains it to the previous
-        # frontier's lineage.
+        # frontier's lineage. The new-seen and next-frontier row counts come
+        # from ONE aggregation job over the checkpointed new_urls (the gate
+        # predicate is a plain column expression) instead of two count jobs.
         if deferred is not None:
             next_frontier = next_frontier.localCheckpoint(eager=True)
-        new_count = new_urls.count()
+        gate_pred = (~F.col("external") & local_gate) | (F.col("external") & ext_gate)
+        counts = new_urls.agg(
+            F.count("*").alias("n"),
+            F.sum(gate_pred.cast("long")).alias("gated")).head()
+        new_count = counts.n
         seen_count += new_count
         seen_delta = new_urls.select("url", F.lit(step).alias("superstep"))
         seen_deltas.append(seen_delta)
         pending_seen.append(seen_delta)
         seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
         frontier = next_frontier
-        frontier_count = frontier.count()
+        if deferred is not None:
+            frontier_count = frontier.count()
+        else:
+            frontier_count = int(counts.gated or 0)
 
         # mirror is parquet-backed, log/metrics localCheckpointed — the
         # content-bearing superstep cache is no longer needed.
