@@ -173,8 +173,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum("l_quantity").cast("decimal(20,2)").alias("sum_qty"),
-                F.sum("l_extendedprice").cast("decimal(20,2)").alias("sum_base_price"),
+                # Cast to decimal BEFORE summing: decimal addition is exact and
+                # order-independent, so the result is bitwise-stable across
+                # partitionings/engines (double summation is not — it cost a
+                # last-ulp hash flake in round 1). The final cast to double is
+                # one IEEE round-to-nearest of the same exact decimal on both
+                # engines, keeping the hashed representation uniform (pandas
+                # Decimal vs DuckDB float64 would otherwise stringify apart).
+                F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+                .cast("double").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+                .cast("double").alias("sum_base_price"),
                 F.count("*").alias("count_order"),
             )
         )
@@ -254,7 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"))
 
     q["simhash_near_pairs"] = lambda spark, sf: webtext.simhash_near_pairs(
-        _t(spark, sf, "documents"), max_hamming=20)
+        _t(spark, sf, "documents"), max_hamming=8)
 
     q["embedding_near_dup"] = lambda spark, sf: webtext.embedding_near_dup(
         _t(spark, sf, "embeddings"), threshold=0.4)
@@ -384,8 +393,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["superstep_metrics_agg"] = """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(l_quantity) AS DECIMAL(20,2)) AS sum_qty,
-               CAST(sum(l_extendedprice) AS DECIMAL(20,2)) AS sum_base_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,2)))
+                    AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)))
+                    AS DOUBLE) AS sum_base_price,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus

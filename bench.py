@@ -80,6 +80,7 @@ def run_crawl(spark, cpus: int) -> dict:
     visited = result.crawl_log.count()
     wall = time.monotonic() - t0
     pages.unpersist()
+    result.close()  # drop the temp mirror spill dir (nothing else reads it)
     return {
         "corpus_pages": n_pages,
         "urls_visited": visited,
@@ -208,8 +209,15 @@ def main_scaling():
             env = dict(os.environ)
             env.pop("PYSPARK_DRIVER_PYTHON", None)
             env["PYSPARK_PYTHON"] = sys.executable
-            subprocess.run(cmd, env=env, capture_output=True, text=True,
-                           timeout=3600, check=True)
+            proc = subprocess.run(cmd, env=env, capture_output=True,
+                                  text=True, timeout=3600)
+            if proc.returncode != 0:
+                # Surface the child's stderr — a bare CalledProcessError
+                # shows only the command line.
+                sys.stderr.write(proc.stderr[-8000:] + "\n")
+                raise SystemExit(
+                    f"spark-submit at local[{cpus}] failed "
+                    f"(exit {proc.returncode}); stderr above")
             with open(stats_file) as f:
                 results[cpus] = json.loads(f.read())["crawl"]
 

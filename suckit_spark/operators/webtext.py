@@ -85,21 +85,50 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     output. Jaccard is then computed over the surviving shingle sets (both
     sides of the oracle comparison apply the same rule).
 
-    Physical shape: ONE shuffle of the exploded shingles (groupBy shingle →
-    posting list), then pairs are generated inside the bounded array (df ≤
-    max_df ⇒ ≤ max_df² structs) — no self-join, no second pass over the
-    shingle table, no separate df-count job. The bound is what makes the
-    in-array expansion safe; an uncapped variant must use the
-    equi-self-join form instead (see git history).
+    Physical shape, capped (``max_df`` set): ONE shuffle of the exploded
+    shingles (groupBy shingle → posting list), then pairs are generated inside
+    the bounded array (df ≤ max_df ⇒ ≤ max_df² structs) — no self-join, no
+    second pass over the shingle table, no separate df-count job. The bound is
+    what makes the in-array expansion safe.
+
+    Uncapped (``max_df=None``): falls back to the equi-self-join form — the
+    pair fan-out of a hot shingle is then spread across shuffle tasks (and
+    AQE's skew-join splitting) instead of materializing O(df²) structs inside
+    a single array row, which would OOM one executor on the first
+    df≈N stop-shingle.
     """
     sh = _spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(tokens_col(), n))).alias("shingle"),
     )
+    if max_df is None:
+        sh = sh.persist()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
+        b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sz").alias("sz_b"))
+        return (
+            inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
     postings = sh.groupBy("shingle").agg(
         F.collect_list("doc_id").alias("docs"))
-    if max_df is not None:
-        postings = postings.filter(F.size("docs") <= max_df)
+    postings = postings.filter(F.size("docs") <= max_df)
     postings = postings.persist()  # feeds sizes + pair generation
 
     sizes = (
@@ -210,19 +239,36 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed by 16-bit chunks:
-    two fingerprints within hamming distance d < chunks must agree on at least
-    one chunk (pigeonhole), so the join key is (chunk_idx, chunk_value) — a
-    hash shuffle, not a cross product."""
+    """Near-dup pairs by SimHash hamming distance — EXACT, via chunk bucketing.
+
+    The 60 fingerprint bits are split into ``max_hamming + 1`` chunks: two
+    fingerprints within hamming distance ``max_hamming`` differ in at most
+    ``max_hamming`` bit positions, so by pigeonhole they agree exactly on at
+    least one whole chunk. The join key is (chunk_idx, chunk_value) — a hash
+    shuffle, never a cross product — and the exact hamming filter afterwards
+    keeps precision 1.0, so the operator returns EVERY pair within distance
+    (round 1 fixed 4 chunks regardless of the requested distance, silently
+    dropping pairs with 4 ≤ hamming ≤ max_hamming spread across all chunks).
+
+    Scale note: chunk width = 60 // (max_hamming+1); small distances (the
+    production dedup setting, e.g. 3 ⇒ 15-bit chunks) give selective buckets.
+    Large distances degrade toward a cross join (3-bit chunks at d=20) —
+    that is inherent to exact hamming joins, not to this shape.
+    """
     fp = simhash(documents)
+    n_chunks = min(max_hamming + 1, 60)
+    # Chunk i covers bits [lo_i, lo_{i+1}); widths differ by at most 1 bit.
+    bounds = [i * 60 // n_chunks for i in range(n_chunks + 1)]
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftrightunsigned(F.col("simhash"), bounds[i])
+            .bitwiseAND((1 << (bounds[i + 1] - bounds[i])) - 1).alias("cv"))
+        for i in range(n_chunks)
+    ]
     chunks = fp.select(
         "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("ci"),
-                     F.shiftrightunsigned(F.col("simhash"), i * 15)
-                     .bitwiseAND((1 << 15) - 1).alias("cv"))
-            for i in range(4)
-        ])).alias("c"),
+        F.explode(F.array(*chunk_structs)).alias("c"),
     ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (

@@ -69,6 +69,18 @@ class CrawlResult:
     #: parquet spill dir holding mirror deltas (delete only after consuming
     #: result.mirror)
     spill_dir: str | None = None
+    #: True when spill_dir is a crawl-created temp dir (safe to delete);
+    #: False when it is the caller's checkpoint_dir.
+    owns_spill_dir: bool = False
+
+    def close(self) -> None:
+        """Delete the temp spill dir backing ``mirror``. Call once the mirror
+        (and log/metrics) DataFrames are fully consumed; they are invalid
+        afterwards. No-op when the spill dir is the caller's checkpoint_dir."""
+        import shutil
+
+        if self.owns_spill_dir and self.spill_dir:
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
 
     def materialize_mirror(self, output_dir: str) -> None:
         """Write the actual file tree (disk.rs parity): bytes per path, plus
@@ -404,7 +416,7 @@ def crawl(
     return CrawlResult(
         mirror=mirror, crawl_log=log, seen=seen, metrics=metrics,
         supersteps=step, wall_times=wall_times, phase_times=phase_times,
-        spill_dir=spill_dir,
+        spill_dir=spill_dir, owns_spill_dir=cfg.checkpoint_dir is None,
     )
 
 

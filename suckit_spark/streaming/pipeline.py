@@ -108,10 +108,18 @@ def candidates_stream(extracted: DataFrame) -> DataFrame:
 def dedup_stream(candidates: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming seen-set: first arrival of each URL key passes, duplicates
     are dropped by engine-managed state. The key is the fragment-inclusive
-    URL — same dedup semantics as the BSP anti-join (P8). The watermark
-    bounds state: a URL older than the watermark can be forgotten, which is
-    the streaming analogue of snapshotting the seen table."""
-    return candidates.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    URL — same dedup semantics as the BSP anti-join (P8).
+
+    State boundedness: ``dropDuplicates(['url'])`` alone NEVER evicts state
+    (the watermark only bounds dedup state when the event-time column is part
+    of the key), so a continuous run would grow the seen-set without bound.
+    ``dropDuplicatesWithinWatermark`` keys on ``url`` but lets the engine
+    evict entries once they age past the watermark — duplicates arriving
+    within the watermark window are dropped, older re-arrivals may pass
+    (the documented trade for bounded state; an exact continuous seen-set
+    needs the batch anti-join against the committed seen table instead)."""
+    return (candidates.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["url"]))
 
 
 def host_metrics_stream(extracted: DataFrame, window: str = "1 minute",

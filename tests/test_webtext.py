@@ -104,27 +104,79 @@ def test_simhash_matches_python(spark, docs):
         assert got[doc_id] == py_simhash(texts[doc_id]), f"doc {doc_id}"
 
 
-def test_simhash_near_pairs_sound(spark, docs):
-    """Every reported pair has hamming <= t; every bucketable pair with
-    hamming <= t is reported (chunk-join completeness within its recall
-    guarantee: distance < chunks ⇒ some chunk agrees)."""
-    pairs = {(r.doc_a, r.doc_b): r.hamming
-             for r in webtext.simhash_near_pairs(docs, max_hamming=20).collect()}
-    fps = {r.doc_id: r.simhash for r in webtext.simhash(docs).collect()}
-    for (a, b), h in pairs.items():
-        assert bin(fps[a] ^ fps[b]).count("1") == h
-        assert h <= 20
-    # completeness for pairs agreeing on at least one 15-bit chunk
-    ids = sorted(fps)
-    for i in range(0, len(ids), 7):        # sample to keep runtime sane
-        for j in range(i + 1, len(ids), 13):
-            a, b = ids[i], ids[j]
-            x = fps[a] ^ fps[b]
-            ham = bin(x).count("1")
-            chunk_agree = any(((fps[a] >> (c * 15)) & 0x7FFF) ==
-                              ((fps[b] >> (c * 15)) & 0x7FFF) for c in range(4))
-            if ham <= 20 and chunk_agree:
-                assert (a, b) in pairs, (a, b, ham)
+def py_jaccard_pairs(texts, n=3, threshold=0.2, max_df=None):
+    sh = {d: set(py_shingles(py_tokens(t), n)) for d, t in texts.items()}
+    if max_df is not None:
+        df = {}
+        for s_set in sh.values():
+            for s in s_set:
+                df[s] = df.get(s, 0) + 1
+        sh = {d: {s for s in ss if df[s] <= max_df} for d, ss in sh.items()}
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if round(j, 6) >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_ngram_jaccard_uncapped_self_join(spark, docs):
+    """max_df=None must take the equi-self-join shape (no in-array df²
+    expansion) and still match the brute-force oracle; a df≈N stop-shingle
+    corpus completes."""
+    texts = {r.doc_id: r.text for r in docs.limit(80).collect()}
+    sub = docs.filter(F.col("doc_id").isin(*texts.keys()))
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in webtext.ngram_jaccard_pairs(
+               sub, n=3, threshold=0.2, max_df=None).collect()}
+    assert got == py_jaccard_pairs(texts, 3, 0.2, None)
+    # plan shape: the uncapped variant must not build posting-list arrays
+    plan = webtext.ngram_jaccard_pairs(
+        sub, n=3, threshold=0.2, max_df=None)._jdf.queryExecution().toString()
+    assert "collect_list" not in plan
+    # a shared shingle across every doc must not OOM: all docs share one
+    # 3-token prefix -> df == N for that shingle; the self-join spreads it
+    shared = spark.createDataFrame(
+        [(i, "alpha beta gamma tail%d x%d y%d" % (i, i * 3, i * 7))
+         for i in range(200)], "doc_id long, text string")
+    res = webtext.ngram_jaccard_pairs(shared, n=3, threshold=0.01,
+                                      max_df=None)
+    assert res.count() > 0
+
+
+def test_ngram_jaccard_capped_matches_python(spark, docs):
+    texts = {r.doc_id: r.text for r in docs.limit(80).collect()}
+    sub = docs.filter(F.col("doc_id").isin(*texts.keys()))
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in webtext.ngram_jaccard_pairs(
+               sub, n=3, threshold=0.2, max_df=20).collect()}
+    assert got == py_jaccard_pairs(texts, 3, 0.2, 20)
+
+
+def test_simhash_near_pairs_sound_and_complete(spark, docs):
+    """Soundness: every reported pair has the claimed hamming <= t.
+    Completeness (NO carve-out): every pair within distance t appears —
+    the chunk count is derived from t (pigeonhole), so the bucketed join
+    is exact, not a recall-bounded candidate generator."""
+    for t in (8, 20):
+        pairs = {(r.doc_a, r.doc_b): r.hamming
+                 for r in webtext.simhash_near_pairs(docs, max_hamming=t).collect()}
+        fps = {r.doc_id: r.simhash for r in webtext.simhash(docs).collect()}
+        for (a, b), h in pairs.items():
+            assert bin(fps[a] ^ fps[b]).count("1") == h
+            assert h <= t
+        ids = sorted(fps)
+        for i in range(0, len(ids), 3):    # sample to keep runtime sane
+            for j in range(i + 1, len(ids), 5):
+                a, b = ids[i], ids[j]
+                ham = bin(fps[a] ^ fps[b]).count("1")
+                if ham <= t:
+                    assert (a, b) in pairs, (a, b, ham, t)
 
 
 def py_cosine(a, b):
