@@ -4,11 +4,10 @@
 SURVEY.md §2.6 (the crawl loop's relational primitives, exercised over the
 driver's TPC-H-ish tables) plus the training-data pipeline operators
 (deduplication, similarity search, text analysis) over ``documents`` /
-``embeddings``. ``oracle_sql()`` gives the DuckDB twin for every query that is
-ANSI-SQL-expressible; the handful of genuinely iterative/UDF-bound ops
-(the BSP crawl itself, MinHash/SimHash pair generation, LSH ANN) are exposed
-without oracles (driver records rows-only checks) but are covered by in-repo
-pytest oracles instead (tests/).
+``embeddings``. ``oracle_sql()`` gives a DuckDB twin for EVERY query —
+md5 banding, bit_count/shift arithmetic, and literal hyperplane lists cover
+the LSH/SimHash shapes; brute-force SQL joins stand in for the bucketed pair
+generators (the oracle only has to agree on the answer, not the plan).
 """
 
 from __future__ import annotations
@@ -628,9 +627,154 @@ def oracle_sql() -> dict[str, str]:
         FROM base
     """
 
-    # minhash_lsh_pairs, simhash_fingerprints, simhash_near_pairs,
-    # ann_lsh_buckets, ann_bucketed_topk, embedding_near_dup_lsh:
-    # iterative/bit-twiddling shapes DuckDB can't express cleanly — rows-only
-    # driver check; exact oracles live in tests/test_webtext.py (brute-force
-    # Python).
+    # ---- previously rows-only queries: DuckDB twins via md5 banding,
+    # bit_count/shift arithmetic, and literal hyperplane lists. The LSH
+    # hyperplanes are deterministic md5-derived constants (configuration, not
+    # data), embedded as literal DOUBLE[] lists.
+
+    # minhash_lsh_pairs: 16 hashes, 4 bands of 4 rows; band hash =
+    # md5(h0,h1,h2,h3 comma-joined) — same expressions as the Spark side.
+    min16 = ", ".join(
+        f"min(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 8)) AS BIGINT))"
+        f" AS h{i}"
+        for i in range(16))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws(',', " +
+        ", ".join(f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4)) +
+        ")) AS bh FROM sig"
+        for b in range(4))
+    o["minhash_lsh_pairs"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct({_shingles(3)})) AS shingle
+          FROM base
+        ), sig AS (
+          SELECT doc_id, {min16} FROM sh GROUP BY doc_id
+        ), banded AS (
+          {band_selects}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+    # simhash: per-token 60-bit md5 hash votes +/-1 per bit position; the
+    # fingerprint reassembles the positive-vote bits.
+    _SIMHASH = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('sim:' || t.token), 1, 15))
+                      AS BIGINT) AS th
+          FROM (SELECT doc_id, unnest(toks) AS token FROM base) t
+        ), votes AS (
+          SELECT doc_id, g.bit,
+                 sum(CASE WHEN (th >> CAST(g.bit AS INTEGER)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM th, generate_series(0, 59) AS g(bit)
+          GROUP BY doc_id, g.bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """
+    o["simhash_fingerprints"] = _SIMHASH
+
+    # simhash_near_pairs: brute-force hamming join over the fingerprints —
+    # the oracle needs no bucketing, it just has to agree on the answer.
+    o["simhash_near_pairs"] = f"""
+        WITH fp AS ({_SIMHASH})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+               AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """
+
+    # Hyperplane-LSH twins: plane entries are +/-1 md5-derived constants.
+    from suckit_spark.operators.webtext import lsh_hyperplanes
+
+    def _plane_lit(plane):
+        return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]::DOUBLE[]"
+
+    def _dot_lit(vec, plane):
+        lit = _plane_lit(plane)
+        return (f"list_sum([{vec}[i] * ({lit})[i] "
+                f"for i in generate_series(1, len({vec}))])")
+
+    def _bucket_expr(vec, planes, offset=0):
+        terms = [
+            f"(CASE WHEN {_dot_lit(vec, plane)} > 0 "
+            f"THEN CAST({1 << (offset + p)} AS BIGINT) ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    planes12 = lsh_hyperplanes(64, 12)
+    o["ann_lsh_buckets"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT vec_id, label, {_bucket_expr('v', planes12)} AS bucket
+        FROM e
+    """
+
+    planes8 = lsh_hyperplanes(64, 8)
+    o["ann_bucketed_topk"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), eb AS (
+          SELECT vec_id, label, v, {_bucket_expr('v', planes8)} AS bucket
+          FROM e
+        ), q AS (
+          SELECT v AS qv, bucket AS qb FROM eb WHERE vec_id = 0
+        )
+        SELECT eb.vec_id, eb.label,
+               round({_cos.format(a='eb.v', b='q.qv')}, 6) AS cosine
+        FROM eb JOIN q ON eb.bucket = q.qb
+        WHERE eb.vec_id <> 0
+        ORDER BY cosine DESC, eb.vec_id LIMIT 10
+    """
+
+    # embedding_near_dup_lsh: 12 tables x 4 planes; a pair is a candidate iff
+    # the two vectors share at least one table signature; exact cosine filter.
+    planes48 = lsh_hyperplanes(64, 4 * 12)
+    sig_cols = ", ".join(
+        f"{_bucket_expr('v', planes48[t * 4:(t + 1) * 4])} AS s{t}"
+        for t in range(12))
+    collide = " OR ".join(f"a.s{t} = b.s{t}" for t in range(12))
+    o["embedding_near_dup_lsh"] = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sigs AS (
+          SELECT vec_id, v, {sig_cols} FROM e
+        ), pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round({_cos.format(a='a.v', b='b.v')}, 6) AS cosine
+          FROM sigs a JOIN sigs b
+            ON a.vec_id < b.vec_id AND ({collide})
+        )
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
+    """
+
+    # multimodal_frames: the deterministic fake codec is byte arithmetic —
+    # 64-byte windows of the utf-8 payload, at most 4, md5 per chunk. The
+    # corpus text is pure ASCII (asserted below), so VARCHAR substring slices
+    # the same bytes the Spark fake slices from the payload BLOB (this
+    # DuckDB build has no BLOB substring).
+    o["multimodal_frames"] = """
+        SELECT media_id, CAST(g.i AS INTEGER) AS frame_idx,
+               md5(substring(text, CAST(g.i AS INTEGER) * 64 + 1, 64))
+               AS frame_md5
+        FROM (SELECT doc_id AS media_id, text,
+                     octet_length(encode(text)) AS nb FROM documents) m,
+             generate_series(0, 3) AS g(i)
+        WHERE g.i <= least(3, greatest(0, nb // 64 - 1))
+          AND nb = length(text)  -- ASCII guard: fail closed on multibyte text
+    """
     return o
