@@ -82,6 +82,13 @@ class CrawlConfig:
     #: many rows (None disables).
     bloom_threshold: int | None = 10_000
     bloom_fpp: float = 0.03
+    #: approximate seen-set mode (the 10^10-scale path): once the bloom is
+    #: engaged, SKIP the exact residual anti-join — the filter alone decides
+    #: membership. Per-superstep dedup cost becomes O(candidates) with no
+    #: shuffle of the seen side; false positives drop a candidate (coverage
+    #: loss bounded by bloom_fpp), never visit one twice. Default off: the
+    #: exact anti-join is the reference-parity contract.
+    bloom_exclusive: bool = False
     #: frontier repartitioning: number of partitions per superstep (None =
     #: spark.sql.shuffle.partitions); salting kicks in for hosts holding more
     #: than skew_salt_threshold of a superstep's rows.

@@ -182,6 +182,8 @@ def crawl(
     pending_seen = [] if (resume and ckpt is not None
                           and step > 0) else list(seen_deltas)
 
+    bloom_state: dedup_ops.BloomState | None = None
+
     robots_udf = None
     if cfg.respect_robots:
         from ..operators import robots as robots_ops
@@ -286,13 +288,21 @@ def crawl(
 
         # First-wins within the superstep (window, order-preserving) then
         # exact anti-join against seen, bloom-prefiltered when seen is large.
+        # The bloom is built incrementally (BloomState): once engaged, each
+        # superstep ORs only its seen DELTA into the filter — build cost is
+        # O(delta), never a rebuild over the accumulated seen table.
         winners = dedup_ops.first_wins(cand, "url", "order_key")
-        new_urls = dedup_ops.anti_join_seen(
-            winners, seen, "url",
-            seen_count=seen_count,
-            bloom_threshold=cfg.bloom_threshold,
-            bloom_fpp=cfg.bloom_fpp,
-        )
+        if cfg.bloom_exclusive and bloom_state is not None:
+            # Approximate seen-set mode: probe only, no O(seen) shuffle.
+            new_urls = dedup_ops.probe_unseen(winners, bloom_state)
+        else:
+            new_urls = dedup_ops.anti_join_seen(
+                winners, seen, "url",
+                seen_count=seen_count,
+                bloom_threshold=cfg.bloom_threshold,
+                bloom_fpp=cfg.bloom_fpp,
+                bloom_state=bloom_state,
+            )
         new_urls = new_urls.localCheckpoint(eager=True)
         t_cand = time.monotonic() - t_cand0
 
@@ -365,6 +375,15 @@ def crawl(
         seen_deltas.append(seen_delta)
         pending_seen.append(seen_delta)
         seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
+        # Maintain the incremental seen-set bloom once past the threshold.
+        if cfg.bloom_threshold is not None and seen_count >= cfg.bloom_threshold:
+            if bloom_state is None:
+                bloom_state = dedup_ops.BloomState(
+                    "url", capacity=seen_count * dedup_ops.BloomState.GROWTH,
+                    fpp=cfg.bloom_fpp)
+                bloom_state.add(seen, seen_count)
+            else:
+                bloom_state.add(seen_delta, new_count, full_seen=seen)
         frontier = next_frontier
         if deferred is not None:
             frontier_count = frontier.count()

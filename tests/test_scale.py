@@ -70,6 +70,50 @@ def test_bloom_unit(spark):
     assert got == {f"u{i}" for i in range(1000, 1100)}
 
 
+def test_bloom_multi_range(spark):
+    """Range-partitioned build: forcing several url-hash ranges must give the
+    same exact result (each range owns an independent filter; empty ranges
+    mean definitely-new)."""
+    from pyspark.sql import functions as F
+    seen = spark.range(2000).select(F.concat(F.lit("u"), "id").alias("url"))
+    cand = spark.range(1500, 2500).select(
+        F.concat(F.lit("u"), "id").alias("url"))
+    out = dedup_ops.anti_join_seen(cand, seen, "url", seen_count=2000,
+                                   bloom_threshold=1, bloom_fpp=0.01,
+                                   num_ranges=4)
+    assert {r.url for r in out.collect()} == {
+        f"u{i}" for i in range(2000, 2500)}
+    # build-side unit check: membership over the packed blobs directly
+    blobs, m, k, nr = dedup_ops.build_bloom(seen, "url", 2000, 0.01,
+                                            num_ranges=4)
+    assert nr == 4 and set(blobs) <= {0, 1, 2, 3}
+    probed = (seen.withColumn(
+        "mc", dedup_ops.might_contain_udf(spark, blobs, k)(
+            dedup_ops._range_col(F.col("url"), nr),
+            *dedup_ops._position_cols(F.col("url"), m, k)))
+        .agg(F.sum(F.col("mc").cast("long"))).head()[0])
+    assert probed == 2000  # no false negatives, ever
+
+
+def test_bloom_exclusive_mode(spark):
+    """Approximate seen-set mode: once engaged, dedup is probe-only (no
+    O(seen) shuffle). With a tight fpp on a small corpus the deterministic
+    hash family yields zero false positives, so the crawl equals the exact
+    one; in general exclusive-mode seen may only be a subset."""
+    n_hosts, per_host = 4, 10
+    rows = corpus.gen_corpus_rows(n_hosts, per_host, fanout=2)
+    base = CrawlConfig(origin=origin(n_hosts), ext_depth=-1,
+                       continue_on_error=True, bloom_threshold=1)
+    exact = crawl(spark, base, pages_df(spark, rows))
+    excl = crawl(spark, base.with_(bloom_exclusive=True, bloom_fpp=1e-6),
+                 pages_df(spark, rows))
+    exact_seen = {r.url for r in exact.seen.collect()}
+    excl_seen = {r.url for r in excl.seen.collect()}
+    assert excl_seen == exact_seen
+    assert [r.url for r in excl.crawl_log.orderBy("visit_seq").collect()] == \
+        [r.url for r in exact.crawl_log.orderBy("visit_seq").collect()]
+
+
 def test_host_budget_defers_not_drops(spark):
     """Politeness budget: same final seen set and visit ORDER, only superstep
     assignment changes (C3: deferral preserves order_key order)."""
