@@ -49,6 +49,8 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bucketed pages table: consume the on-disk per-bucket sort directly
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -62,25 +64,34 @@ def run_crawl(spark, cpus: int) -> dict:
     from suckit_spark.plans.crawl import crawl
     from suckit_spark.sources import corpus
 
-    from pyspark import StorageLevel
-    pages = corpus.gen_corpus_df(
+    import shutil
+    import tempfile
+
+    gen = corpus.gen_corpus_df(
         spark, CRAWL_HOSTS, CRAWL_PAGES_PER_HOST, fanout=3,
         mega_host_factor=MEGA_FACTOR, partitions=cpus * 2,
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # serialized: no object-heap blowup
+    )
+    # First-class fetch-side layout: url-bucketed+sorted table (built before
+    # timing, like any corpus prep) — the crawl's per-superstep join then
+    # exchanges only the frontier.
+    bucket_dir = tempfile.mkdtemp(prefix="suckit_bench_corpus_")
+    pages = corpus.prepare_pages_table(
+        spark, gen, os.path.join(bucket_dir, "pages"), n_buckets=64,
+        table_name="bench_pages_bucketed")
     n_pages = pages.count()  # materialize corpus before timing the crawl
 
     cfg = CrawlConfig(
         origin=corpus.page_url(0, 0, CRAWL_HOSTS),
         ext_depth=-1, continue_on_error=True,
-        frontier_partitions=cpus * 2,
         bloom_threshold=50_000,
     )
     t0 = time.monotonic()
     result = crawl(spark, cfg, pages)
     visited = result.crawl_log.count()
     wall = time.monotonic() - t0
-    pages.unpersist()
     result.close()  # drop the temp mirror spill dir (nothing else reads it)
+    spark.sql("DROP TABLE IF EXISTS bench_pages_bucketed")
+    shutil.rmtree(bucket_dir, ignore_errors=True)
     return {
         "corpus_pages": n_pages,
         "urls_visited": visited,

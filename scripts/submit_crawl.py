@@ -94,22 +94,13 @@ def main() -> None:
             mega_host_factor=args.mega_factor, partitions=cores * 2,
             body_kb=args.body_kb,
         )
-        # Fetch-side table bucketed by the join key (the sandbox stand-in for
-        # Iceberg ``bucket(N, url)``): the per-superstep fetch join then
-        # exchanges only the frontier — the corpus scan reuses the bucket
-        # partitioning (crawl.py). Pre-repartition on the bucket key yields
-        # one file per bucket, so the on-disk sort order survives and SMJ
-        # skips the sort too. Bucket count is fixed (not tied to this run's
-        # cores) so N- and 4N-core runs read the identical table layout.
+        # Fetch-side layout is owned by sources/corpus.prepare_pages_table
+        # (url-bucketed+sorted; per-superstep join exchanges only the
+        # frontier).
         bucket_dir = os.path.join(
             tempfile.mkdtemp(prefix="suckit_corpus_"), "pages_bucketed")
-        n_buckets = args.buckets
-        (gen.repartition(n_buckets, "url")
-            .write.format("parquet")
-            .bucketBy(n_buckets, "url").sortBy("url")
-            .option("path", bucket_dir).mode("overwrite")
-            .saveAsTable("pages_bucketed"))
-        pages = spark.table("pages_bucketed")
+        pages = corpus.prepare_pages_table(
+            spark, gen, bucket_dir, n_buckets=args.buckets)
         origin = args.origin or corpus.page_url(0, 0, args.hosts)
     n_pages = pages.count()  # materialize before timing
 
@@ -119,7 +110,6 @@ def main() -> None:
     # the filter every superstep, so the bench-scale crawl runs exact.
     cfg = CrawlConfig(
         origin=origin, ext_depth=-1, continue_on_error=True,
-        frontier_partitions=cores * 2,
         bloom_threshold=1_000_000,
         checkpoint_dir=args.checkpoint_dir,
     )

@@ -89,12 +89,20 @@ class CrawlConfig:
     #: loss bounded by bloom_fpp), never visit one twice. Default off: the
     #: exact anti-join is the reference-parity contract.
     bloom_exclusive: bool = False
-    #: frontier repartitioning: number of partitions per superstep (None =
-    #: spark.sql.shuffle.partitions); salting kicks in for hosts holding more
-    #: than skew_salt_threshold of a superstep's rows.
-    frontier_partitions: int | None = None
-    skew_salt_threshold: float = 0.2
+    #: mega-host skew: the politeness-budget window is the crawl's only
+    #: host-keyed ranking stage; with >1 salt bucket it runs as a two-phase
+    #: (salted pre-rank, then exact re-rank over <= budget*buckets survivors
+    #: per host) so one mega-host cannot serialize the stage onto a single
+    #: task. Exact in all cases; 1 disables the pre-phase.
+    #: (A frontier_partitions knob existed in round 1 but was dead: the fetch
+    #: join's exchange IS the per-superstep url-hash repartition, so an extra
+    #: repartition would only add a shuffle.)
     skew_salt_buckets: int = 16
+    #: fetch realization: False = deterministic corpus join (the sandbox /
+    #: replay path); True = real HTTP GETs via operators/live_fetch.py
+    #: (honors user_agent, cookie, auth, tries, disable_certs_checks,
+    #: delay/random_range — reference downloader.rs:73-184).
+    live_fetch: bool = False
     #: parquet-snapshot checkpoint directory (Iceberg-style atomic superstep
     #: commits with a JSON manifest); None = in-memory localCheckpoint only.
     checkpoint_dir: str | None = None

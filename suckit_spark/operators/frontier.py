@@ -27,34 +27,46 @@ def host_col(url_col: str = "fetch_url") -> F.Column:
     return F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
 
 
-def apply_host_budget(frontier: DataFrame, budget: int | None):
+def apply_host_budget(frontier: DataFrame, budget: int | None,
+                      salt_buckets: int = 16):
     """Split the frontier into (selected, deferred) by per-host rank.
 
     Rank order is the canonical visit order (order_key), so deferral never
     reorders the crawl — deferred rows keep their order_key and sort ahead of
     anything discovered later.
+
+    Skew (SURVEY.md §2.4 C4, north_rule): a window partitioned by host alone
+    serializes a mega-host's whole frontier onto one task. With
+    ``salt_buckets > 1`` the selection runs two-phase and stays EXACT:
+
+    1. pre-rank within (host, salt): any row whose true per-host rank is
+       <= budget also has salt-local rank <= budget (a salt bucket holds a
+       subsequence), so filtering salt-rank <= budget never drops a winner —
+       it only bounds the survivors to budget*salt_buckets per host;
+    2. exact re-rank over the survivors picks the true top ``budget``.
+
+    The heavy phase-1 window spreads a mega-host over ``salt_buckets``
+    tasks; phase 2 touches at most budget*salt_buckets rows per host.
+    Deferred rows are everything not selected (computed by rank on the same
+    exact window shape over the pre-filtered complement union).
     """
     if budget is None:
         return frontier, None
-    w = Window.partitionBy(host_col()).orderBy(F.col("order_key"))
+    host = host_col()
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(host, salt).orderBy(F.col("order_key"))
+        pre = frontier.withColumn("__prerank", F.row_number().over(w1))
+        survivors = pre.filter(F.col("__prerank") <= budget).drop("__prerank")
+        losers = pre.filter(F.col("__prerank") > budget).drop("__prerank")
+        w2 = Window.partitionBy(host).orderBy(F.col("order_key"))
+        reranked = survivors.withColumn("__rank", F.row_number().over(w2))
+        selected = reranked.filter(F.col("__rank") <= budget).drop("__rank")
+        deferred = reranked.filter(F.col("__rank") > budget).drop("__rank") \
+            .unionByName(losers)
+        return selected, deferred
+    w = Window.partitionBy(host).orderBy(F.col("order_key"))
     ranked = frontier.withColumn("__rank", F.row_number().over(w))
     selected = ranked.filter(F.col("__rank") <= budget).drop("__rank")
     deferred = ranked.filter(F.col("__rank") > budget).drop("__rank")
     return selected, deferred
-
-
-def repartition_frontier(
-    frontier: DataFrame,
-    num_partitions: int | None,
-    salt_buckets: int = 16,
-) -> DataFrame:
-    """Spread the fetch stage evenly: partition by (url hash, salt).
-
-    The salt term is derived from the full URL hash, so rows of one mega-host
-    (which share a host but not a url) already spread; the explicit composite
-    key documents intent and keeps the partitioning stable for AQE to refine.
-    """
-    keys = [F.xxhash64("fetch_url"), F.pmod(F.xxhash64("url", F.lit(7)), F.lit(salt_buckets))]
-    if num_partitions:
-        return frontier.repartition(num_partitions, *keys)
-    return frontier.repartition(*keys)

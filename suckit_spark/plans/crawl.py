@@ -141,6 +141,25 @@ def crawl(
     fetch_pages = pages.select(
         "url", "html", "content_type", "content_disposition",
         "requires_auth", "auth_user", "auth_pass", "status")
+    # Fetch-side layout (north_rule partitioning discipline): the corpus side
+    # of the per-superstep join must not be exchanged per superstep. A
+    # url-bucketed table (sources/corpus.prepare_pages_table; Iceberg
+    # ``bucket(N, url)`` at the design point) already satisfies this — its
+    # scan reports ``Bucketed: true``. Any other input (the library default:
+    # an arbitrary in-memory DataFrame) is re-laid-out ONCE here:
+    # hash-repartition by url + sort within partitions + persist serialized.
+    # InMemoryTableScan preserves both partitioning and ordering, so each
+    # superstep's sort-merge fetch join exchanges and sorts ONLY the frontier
+    # (previously the whole corpus re-shuffled AND re-sorted per superstep).
+    owns_pages_cache = False
+    if not cfg.live_fetch and "Bucketed: true" not in _plan_string(fetch_pages):
+        from pyspark import StorageLevel
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        fetch_pages = (
+            fetch_pages.repartition(n_part, "url")
+            .sortWithinPartitions("url")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        owns_pages_cache = True
     ckpt = CrawlCheckpoint(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
     # Content-bearing superstep output is streamed to table storage (the
@@ -196,8 +215,10 @@ def crawl(
             break
         t0 = time.monotonic()
 
-        # C3: per-host politeness budget — overflow defers, order preserved.
-        selected, deferred = frontier_ops.apply_host_budget(frontier, cfg.host_budget)
+        # C3: per-host politeness budget — overflow defers, order preserved;
+        # salted two-phase window so a mega-host cannot serialize the stage.
+        selected, deferred = frontier_ops.apply_host_budget(
+            frontier, cfg.host_budget, salt_buckets=cfg.skew_salt_buckets)
 
         # S2/S3: the fetch = LEFT OUTER join against the pages corpus,
         # preserving every frontier row (a missing page is a fetch error, not
@@ -215,14 +236,18 @@ def crawl(
         # the whole corpus.) Host-skew salting applies to the host-keyed
         # stages (budget window, metrics), not this url-keyed join — url
         # hashes of one mega-host already spread uniformly.
-        pages_k = fetch_pages.withColumnRenamed("url", "page_url")
-        fetched = selected.join(
-            pages_k,
-            on=F.col("fetch_url") == F.col("page_url"),
-            how="left",
-        )
-        fetched = fetched.withColumn(
-            "found", F.col("page_url").isNotNull()).drop("page_url")
+        if cfg.live_fetch:
+            from ..operators import live_fetch as live_fetch_ops
+            fetched = live_fetch_ops.fetch_frontier(selected, cfg)
+        else:
+            pages_k = fetch_pages.withColumnRenamed("url", "page_url")
+            fetched = selected.join(
+                pages_k,
+                on=F.col("fetch_url") == F.col("page_url"),
+                how="left",
+            )
+            fetched = fetched.withColumn(
+                "found", F.col("page_url").isNotNull()).drop("page_url")
 
         # P1-P11 fused in one Arrow stage. Reused 4× downstream: cached
         # SERIALIZED (content bytes stored compact, spill to disk, no
@@ -419,6 +444,11 @@ def crawl(
             pending_seen = []
         step += 1
 
+    if owns_pages_cache:
+        # Nothing returned depends on the corpus cache (mirror is
+        # parquet-backed; log/seen are checkpointed).
+        fetch_pages.unpersist()
+
     spark_ = spark
     mirror = _union_all(spark_, mirror_deltas, _mirror_schema())
     log = _union_all(spark_, log_deltas, _log_schema())
@@ -437,6 +467,12 @@ def crawl(
         supersteps=step, wall_times=wall_times, phase_times=phase_times,
         spill_dir=spill_dir, owns_spill_dir=cfg.checkpoint_dir is None,
     )
+
+
+def _plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """Physical-plan text (what ``df.explain(mode)`` prints), as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
 
 
 def _symlink_target_col():

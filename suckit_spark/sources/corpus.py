@@ -128,6 +128,35 @@ def gen_corpus_df(spark: SparkSession, n_hosts: int, pages_per_host: int,
     return idx.mapInPandas(render, PAGES_SCHEMA)
 
 
+def prepare_pages_table(
+    spark: SparkSession,
+    pages: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    table_name: str = "pages_bucketed",
+) -> DataFrame:
+    """Write ``pages`` as a url-bucketed+sorted parquet table and return a
+    DataFrame scanning it — the first-class fetch-side layout.
+
+    This is the sandbox stand-in for Iceberg ``bucket(N, url)`` partitioning
+    (north_rule): the per-superstep fetch join exchanges ONLY the frontier;
+    the corpus scan reuses the bucket partitioning, and with
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` plus the
+    pre-repartition below (one file per bucket) the sort-merge join consumes
+    the on-disk order directly — no per-superstep corpus exchange OR sort.
+
+    Bucket count is a property of the TABLE, not of this run's parallelism:
+    N- and 4N-core clusters read the identical layout (BASELINE.md scaling
+    protocol).
+    """
+    (pages.repartition(n_buckets, "url")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "url").sortBy("url")
+        .option("path", path).mode("overwrite")
+        .saveAsTable(table_name))
+    return spark.table(table_name)
+
+
 def corpus_pages_dict(n_hosts: int, pages_per_host: int, fanout: int = 3,
                       mega_host_factor: int = 1, seed: int = 42) -> dict[str, dict]:
     return {r["url"]: r

@@ -37,7 +37,7 @@ def test_mega_host_skew_parity(spark):
     rows = corpus.gen_corpus_rows(n_hosts, per_host, fanout=2,
                                   mega_host_factor=10)
     cfg = CrawlConfig(origin=corpus.page_url(0, 0, n_hosts), ext_depth=-1,
-                      continue_on_error=True, frontier_partitions=8)
+                      continue_on_error=True)
     oracle = crawl_oracle(cfg, {r["url"]: r for r in rows})
     result = crawl(spark, cfg, pages_df(spark, rows))
     assert {r.url for r in result.seen.collect()} == oracle.seen
@@ -168,6 +168,61 @@ def test_checkpoint_resume_exact(spark, tmp_path):
     ms = CrawlCheckpoint(spark, ck).manifests()
     assert len(ms) >= 2
     assert all("frontier_partition_lineage" in m and "stats" in m for m in ms)
+
+
+def test_bucketed_pages_single_exchange(spark, tmp_path):
+    """The first-class fetch-side layout: joining a frontier against a
+    prepare_pages_table corpus must exchange ONLY the frontier — exactly one
+    Exchange in the plan, and the corpus scan reads its buckets."""
+    from pyspark.sql import functions as F
+    from suckit_spark.plans.crawl import _plan_string
+
+    rows = corpus.gen_corpus_rows(3, 6, fanout=2)
+    pages = corpus.prepare_pages_table(
+        spark, pages_df(spark, rows), str(tmp_path / "pages"), n_buckets=4,
+        table_name="t_pages_bucketed")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages_k = pages.select("url", "html").withColumnRenamed("url", "page_url")
+        frontier = spark.createDataFrame(
+            [(corpus.page_url(0, 0, 3),)], "fetch_url string")
+        joined = frontier.join(
+            pages_k, F.col("fetch_url") == F.col("page_url"), "left")
+        assert "Bucketed: true" in _plan_string(joined)
+        # simple mode prints each node once — exactly one Exchange, and it is
+        # on the frontier side (the corpus scan reuses its bucket layout)
+        simple = _plan_string(joined, "simple")
+        assert simple.count("Exchange") == 1, simple
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
+
+
+def test_salted_host_budget_exact(spark):
+    """The salted two-phase budget window selects exactly the same rows as
+    the plain single-window ranking, for any salt bucket count — including a
+    mega-host frontier far larger than the budget."""
+    from pyspark.sql import functions as F
+    from suckit_spark.operators import frontier as frontier_ops
+
+    rows = []
+    for i in range(120):  # mega host
+        rows.append((f"http://mega.example/p{i}.html",
+                     f"http://mega.example/p{i}.html", [0, i]))
+    for h in range(3):    # small hosts
+        for i in range(4):
+            rows.append((f"http://h{h}.example/p{i}.html",
+                         f"http://h{h}.example/p{i}.html", [1, h, i]))
+    f = spark.createDataFrame(
+        rows, "url string, fetch_url string, order_key array<long>")
+    sel1, def1 = frontier_ops.apply_host_budget(f, 5, salt_buckets=1)
+    sel8, def8 = frontier_ops.apply_host_budget(f, 5, salt_buckets=8)
+    assert {r.url for r in sel8.collect()} == {r.url for r in sel1.collect()}
+    assert {r.url for r in def8.collect()} == {r.url for r in def1.collect()}
+    # the salt is observable in the physical plan of the salted phase
+    from suckit_spark.plans.crawl import _plan_string
+    assert "pmod" in _plan_string(sel8)
 
 
 def test_distributed_corpus_generator(spark):
