@@ -157,6 +157,37 @@ def _build_pyfiles_zip(dest: str) -> str:
     return zpath
 
 
+def _phase_table(lo_stats: dict, hi_stats: dict, lo: int, hi: int) -> str:
+    """Markdown table: per-phase totals at both levels + speedup, from the
+    crawl's phase_times instrumentation."""
+    lo_ph = lo_stats.get("phase_times") or []
+    hi_ph = hi_stats.get("phase_times") or []
+    if not lo_ph or not hi_ph:
+        return "(phase_times missing from one of the runs)"
+    keys = [k for k in lo_ph[0] if k != "superstep"]
+    lines = [f"| phase | N={lo} total (s) | 4N={hi} total (s) | speedup |",
+             "|---|---|---|---|"]
+    for k in keys:
+        a = sum(p.get(k, 0.0) for p in lo_ph)
+        b = sum(p.get(k, 0.0) for p in hi_ph)
+        sp = a / b if b > 0 else float("inf")
+        lines.append(f"| {k} | {a:.1f} | {b:.1f} | {sp:.2f}x |")
+    # the two heaviest supersteps, phase by phase — where non-scaling hides
+    heavy = sorted(range(len(lo_ph)),
+                   key=lambda i: -sum(v for kk, v in lo_ph[i].items()
+                                      if kk != "superstep"))[:2]
+    lines.append("")
+    lines.append(f"Heaviest supersteps at N={lo}, phase by phase "
+                 f"(N={lo} -> 4N={hi} seconds):")
+    for i in sorted(heavy):
+        if i >= len(hi_ph):
+            continue
+        parts = ", ".join(
+            f"{k}: {lo_ph[i][k]:.1f}->{hi_ph[i][k]:.1f}" for k in keys)
+        lines.append(f"- superstep {lo_ph[i]['superstep']}: {parts}")
+    return "\n".join(lines)
+
+
 def main_scaling():
     """Run the identical crawl job via real ``spark-submit --py-files`` at
     N=8 and 4N=32 cores (the sandbox realization of the N vs 4N executor
@@ -262,6 +293,15 @@ Throughput ratio u_4N / u_N = {u32 / max(u8, 1e-9):.2f}x.
 Per-superstep wall times (s):
 - N={lo}: {results[lo]['superstep_wall_sec']}
 - 4N={hi}: {results[hi]['superstep_wall_sec']}
+
+## Per-phase scaling (which stage does / does not scale)
+
+Phase legend: `fetch_parse_mirror` = fetch join + Arrow page pipeline +
+mirror parquet write (the compute bulk); `cand_dedup` = candidate explode +
+first-wins window + seen anti-join; `small_deltas` = log/metrics
+checkpoint; `rest` = counts + commit barrier.
+
+{_phase_table(results[lo], results[hi], lo, hi)}
 
 Reproduce: `python bench.py --scaling` (packages suckit_spark.zip and runs
 both spark-submit jobs).

@@ -152,7 +152,7 @@ def crawl(
     # superstep's sort-merge fetch join exchanges and sorts ONLY the frontier
     # (previously the whole corpus re-shuffled AND re-sorted per superstep).
     owns_pages_cache = False
-    if not cfg.live_fetch and "Bucketed: true" not in _plan_string(fetch_pages):
+    if not cfg.live_fetch and not _scan_is_bucketed(spark, fetch_pages):
         from pyspark import StorageLevel
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         fetch_pages = (
@@ -467,6 +467,27 @@ def crawl(
         supersteps=step, wall_times=wall_times, phase_times=phase_times,
         spill_dir=spill_dir, owns_spill_dir=cfg.checkpoint_dir is None,
     )
+
+
+def _scan_is_bucketed(spark: SparkSession, fetch_pages: DataFrame) -> bool:
+    """True iff the pages input exposes a url-bucketed layout the fetch join
+    can reuse. The probe must be a JOIN plan: on a bare scan the planner
+    reports ``Bucketed: false (disabled by query planner)`` because nothing
+    requires the distribution — probing that (round-2 regression) made
+    crawl() re-layout already-bucketed tables. Broadcast is disabled during
+    planning so a small corpus can't hide its buckets behind a
+    BroadcastHashJoin."""
+    probe = spark.createDataFrame([("",)], "fetch_url string")
+    joined = probe.join(
+        fetch_pages.select(F.col("url").alias("page_url")),
+        on=F.col("fetch_url") == F.col("page_url"), how="left")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        return "Bucketed: true" in _plan_string(joined)
+    finally:
+        spark.conf.set(key, old)
 
 
 def _plan_string(df: DataFrame, mode: str = "formatted") -> str:

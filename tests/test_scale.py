@@ -199,6 +199,25 @@ def test_bucketed_pages_single_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
 
 
+def test_bucket_probe_detects_layouts(spark, tmp_path):
+    """crawl()'s layout probe: a bucketed table must be recognized (so it is
+    NOT re-laid-out — probing a bare scan misses it because the planner
+    disables bucketing when nothing needs it), a flat DataFrame must not."""
+    from suckit_spark.plans.crawl import _normalize_pages, _scan_is_bucketed
+
+    rows = corpus.gen_corpus_rows(3, 6, fanout=2)
+    flat = _normalize_pages(pages_df(spark, rows)).select("url", "html")
+    assert not _scan_is_bucketed(spark, flat)
+    b = corpus.prepare_pages_table(
+        spark, pages_df(spark, rows), str(tmp_path / "p"), n_buckets=4,
+        table_name="t_probe_bucketed")
+    try:
+        assert _scan_is_bucketed(
+            spark, _normalize_pages(b).select("url", "html"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_probe_bucketed")
+
+
 def test_salted_host_budget_exact(spark):
     """The salted two-phase budget window selects exactly the same rows as
     the plain single-window ranking, for any salt bucket count — including a
