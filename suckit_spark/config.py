@@ -98,6 +98,20 @@ class CrawlConfig:
     #: join's exchange IS the per-superstep url-hash repartition, so an extra
     #: repartition would only add a shuffle.)
     skew_salt_buckets: int = 16
+    #: small-frontier fetch fast path: when the frontier holds at most this
+    #: many rows, the fetch pushes the frontier's fetch_urls into the corpus
+    #: scan as an IN filter (bucket pruning + parquet row-group stats skip
+    #: the rest of the corpus) instead of scanning every bucket for a
+    #: handful of rows. Exact — the filter keeps every possible join match.
+    #: 0 disables.
+    fetch_in_filter_threshold: int = 4096
+    #: frontier priority (north_rule "priority queue"): SQL expression over
+    #: frontier columns (url, fetch_url, depth, ext_depth, superstep,
+    #: order_key); higher fetches first within each host's budget, ties by
+    #: canonical order_key. None = exact FIFO reference parity. Only
+    #: meaningful with host_budget (an unbudgeted superstep fetches its whole
+    #: frontier anyway).
+    priority_expr: str | None = None
     #: fetch realization: False = deterministic corpus join (the sandbox /
     #: replay path); True = real HTTP GETs via operators/live_fetch.py
     #: (honors user_agent, cookie, auth, tries, disable_certs_checks,

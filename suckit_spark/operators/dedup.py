@@ -316,12 +316,17 @@ def first_wins(candidates: DataFrame, key_col: str, order_col: str) -> DataFrame
     """Order-preserving within-batch dedup: keep the row with the smallest
     ``order_col`` per ``key_col`` (reference P8: the first discoverer inserts
     into path_map and wins; ``dropDuplicates`` would pick a nondeterministic
-    winner)."""
-    from pyspark.sql.window import Window
+    winner).
 
-    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    Shape: ``min_by`` hash aggregation, NOT a window — partial (map-side)
+    combine shrinks the shuffle to one winner per key per map partition and
+    needs no per-partition sort; a window would shuffle every candidate row
+    and sort each hash partition. order_col values are unique per key in the
+    crawl (order_key = parent chain + link position), so the winner is
+    deterministic."""
+    others = [c for c in candidates.columns if c != key_col]
     return (
-        candidates.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        candidates.groupBy(key_col)
+        .agg(F.min_by(F.struct(*others), F.col(order_col)).alias("__w"))
+        .select(key_col, *[F.col(f"__w.{c}").alias(c) for c in others])
     )

@@ -28,12 +28,22 @@ def host_col(url_col: str = "fetch_url") -> F.Column:
 
 
 def apply_host_budget(frontier: DataFrame, budget: int | None,
-                      salt_buckets: int = 16):
+                      salt_buckets: int = 16,
+                      priority_expr: str | None = None):
     """Split the frontier into (selected, deferred) by per-host rank.
 
     Rank order is the canonical visit order (order_key), so deferral never
     reorders the crawl — deferred rows keep their order_key and sort ahead of
     anything discovered later.
+
+    ``priority_expr`` (north_rule "priority queue" hook): an optional SQL
+    expression over the frontier columns; higher values are fetched first
+    within each host's budget (ties broken by order_key, so priority=None
+    or a constant is exact FIFO parity). Example:
+    ``priority_expr="-depth"`` prefers shallow pages;
+    ``priority_expr="case when url like '%.html' then 1 else 0 end"``
+    prefers html. Deferral still never drops work — losers carry their
+    order_key and priority into the next superstep.
 
     Skew (SURVEY.md §2.4 C4, north_rule): a window partitioned by host alone
     serializes a mega-host's whole frontier onto one task. With
@@ -53,19 +63,24 @@ def apply_host_budget(frontier: DataFrame, budget: int | None,
     if budget is None:
         return frontier, None
     host = host_col()
+    # A fixed total order per host: priority desc first (when given), then
+    # the canonical order_key. The salted two-phase trick below is exact for
+    # ANY fixed order — a salt bucket holds a subsequence of it.
+    order = ([F.expr(priority_expr).desc(), F.col("order_key")]
+             if priority_expr else [F.col("order_key")])
     if salt_buckets and salt_buckets > 1:
         salt = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(salt_buckets))
-        w1 = Window.partitionBy(host, salt).orderBy(F.col("order_key"))
+        w1 = Window.partitionBy(host, salt).orderBy(*order)
         pre = frontier.withColumn("__prerank", F.row_number().over(w1))
         survivors = pre.filter(F.col("__prerank") <= budget).drop("__prerank")
         losers = pre.filter(F.col("__prerank") > budget).drop("__prerank")
-        w2 = Window.partitionBy(host).orderBy(F.col("order_key"))
+        w2 = Window.partitionBy(host).orderBy(*order)
         reranked = survivors.withColumn("__rank", F.row_number().over(w2))
         selected = reranked.filter(F.col("__rank") <= budget).drop("__rank")
         deferred = reranked.filter(F.col("__rank") > budget).drop("__rank") \
             .unionByName(losers)
         return selected, deferred
-    w = Window.partitionBy(host).orderBy(F.col("order_key"))
+    w = Window.partitionBy(host).orderBy(*order)
     ranked = frontier.withColumn("__rank", F.row_number().over(w))
     selected = ranked.filter(F.col("__rank") <= budget).drop("__rank")
     deferred = ranked.filter(F.col("__rank") > budget).drop("__rank")

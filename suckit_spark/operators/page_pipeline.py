@@ -125,11 +125,16 @@ def process_page(cfg: CrawlConfig, url: str, body: bytes,
     }
 
 
-def make_page_pipeline(cfg: CrawlConfig):
+def make_page_pipeline(cfg: CrawlConfig, emit_page_text: bool = True):
     """Build the ``mapInPandas`` function for one superstep's fetched frontier.
 
     Input batches carry the frontier columns plus the left-joined pages columns
     and a ``found`` flag; output matches schemas.PAGE_RESULT_SCHEMA.
+
+    ``emit_page_text=False`` nulls the page_text column (the text is still
+    extracted — it falls out of the single parse pass — but is not shipped
+    through Arrow; the crawl loop consumes links/content only, and for an
+    HTML-heavy superstep the text roughly doubles the Arrow payload).
     """
 
     def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,7 +169,7 @@ def make_page_pipeline(cfg: CrawlConfig):
                         row.get("content_disposition"))
                     if res["kind"] == "other" else None,
                     "content": res["content"],
-                    "page_text": res["page_text"],
+                    "page_text": res["page_text"] if emit_page_text else None,
                     "charset": res["charset"],
                     "links": res["links"],
                 })

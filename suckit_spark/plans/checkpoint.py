@@ -82,9 +82,11 @@ class CrawlCheckpoint:
             "superstep": step,
             "frontier": read.parquet(os.path.join(base, "frontier")),
         }
-        # Seen/mirror/log/metrics deltas accumulate across steps; union all
-        # committed steps' deltas.
-        for name in ("seen", "mirror", "crawl_log", "metrics"):
+        # Seen/result/log/metrics deltas accumulate across steps; union all
+        # committed steps' deltas. "result" is the loop's per-superstep page
+        # store (content + links + log columns in one parquet; the crawl
+        # derives its mirror view from it).
+        for name in ("seen", "result", "crawl_log", "metrics"):
             parts = []
             for s in range(step + 1):
                 p = os.path.join(self.dir, f"step={s:06d}", name)

@@ -181,7 +181,8 @@ def crawl(
         seen_deltas = [state["seen"]]
         seen_count = state["seen"].count()
         step = state["superstep"] + 1
-        mirror_deltas = [state["mirror"]] if state["mirror"] is not None else []
+        mirror_deltas = ([_mirror_view(state["result"])]
+                         if state["result"] is not None else [])
         log_deltas = [state["crawl_log"]] if state["crawl_log"] is not None else []
         metric_deltas = [state["metrics"]] if state["metrics"] is not None else []
     else:
@@ -191,7 +192,7 @@ def crawl(
         step = 0
         mirror_deltas, log_deltas, metric_deltas = [], [], []
 
-    pipeline = make_page_pipeline(cfg)
+    pipeline = make_page_pipeline(cfg, emit_page_text=False)
     wall_times: list[float] = []
     phase_times: list[dict] = []
     seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
@@ -218,7 +219,8 @@ def crawl(
         # C3: per-host politeness budget — overflow defers, order preserved;
         # salted two-phase window so a mega-host cannot serialize the stage.
         selected, deferred = frontier_ops.apply_host_budget(
-            frontier, cfg.host_budget, salt_buckets=cfg.skew_salt_buckets)
+            frontier, cfg.host_budget, salt_buckets=cfg.skew_salt_buckets,
+            priority_expr=cfg.priority_expr)
 
         # S2/S3: the fetch = LEFT OUTER join against the pages corpus,
         # preserving every frontier row (a missing page is a fetch error, not
@@ -241,6 +243,16 @@ def crawl(
             fetched = live_fetch_ops.fetch_frontier(selected, cfg)
         else:
             pages_k = fetch_pages.withColumnRenamed("url", "page_url")
+            # Small-frontier fast path: push the (few) fetch_urls into the
+            # corpus scan as an IN filter — bucket pruning + row-group stats
+            # skip almost all of the corpus, so a tail superstep costs
+            # O(frontier), not O(corpus scan). Exact: the filter keeps every
+            # possible match of the left join. Driver traffic is bounded by
+            # the threshold (a few hundred KB of url strings).
+            if 0 < frontier_count <= cfg.fetch_in_filter_threshold:
+                urls = sorted({r.fetch_url for r in
+                               selected.select("fetch_url").collect()})
+                pages_k = pages_k.filter(F.col("page_url").isin(urls))
             fetched = selected.join(
                 pages_k,
                 on=F.col("fetch_url") == F.col("page_url"),
@@ -249,49 +261,46 @@ def crawl(
             fetched = fetched.withColumn(
                 "found", F.col("page_url").isNotNull()).drop("page_url")
 
-        # P1-P11 fused in one Arrow stage. Reused 4× downstream: cached
-        # SERIALIZED (content bytes stored compact, spill to disk, no
-        # deserialized-object heap blowup); lineage stays short because the
-        # frontier side is checkpointed each superstep.
-        from pyspark import StorageLevel
+        # P1-P11 fused in one Arrow stage, then ONE write job per superstep:
+        # the full (content-bearing) page result streams straight to table
+        # storage (Iceberg-append shape; parquet fallback). Every downstream
+        # consumer — mirror view, crawl log, metrics, candidate explode —
+        # is a COLUMN-PRUNED read of that parquet, so the heavy content
+        # bytes pass through executor memory exactly once (no block-manager
+        # cache of multi-GB supersteps, which thrashed at high core counts)
+        # and the old second materialization job for the small deltas is
+        # gone. n_bytes is precomputed so the log never re-reads content.
         result = fetched.mapInPandas(pipeline, PAGE_RESULT_SCHEMA)
-        # (PySpark's MEMORY_AND_DISK constant is the serialized variant)
-        result = result.persist(StorageLevel.MEMORY_AND_DISK)
-
-        # Stream this superstep's mirror delta straight to table storage and
-        # swap the in-memory plan for the parquet-backed read (Iceberg-append
-        # semantics). This is also the action that populates the cache.
-        mirror_delta = (
-            result.filter((F.col("status") == "ok") & F.col("download"))
-            .select(
-                "url", "path", "filename", "content", "superstep",
-                F.when(
-                    F.col("filename").isNotNull(),
-                    _symlink_target_col(),
-                ).alias("symlink_target"),
-            )
-            if not cfg.dry_run else result.limit(0).select(
-                "url", "path", "filename", "content", "superstep",
-                F.lit(None).cast("string").alias("symlink_target"))
-        )
-        mirror_path = os.path.join(spill_dir, f"step={step:06d}", "mirror")
+        store = result.drop("page_text").withColumn(
+            "n_bytes",
+            F.coalesce(F.length("content"), F.lit(0)).cast("long"))
+        if cfg.dry_run:
+            # dry run persists no page bytes anywhere — not even spill.
+            store = store.withColumn("content", F.lit(None).cast("binary"))
+        step_path = os.path.join(spill_dir, f"step={step:06d}", "result")
         t_fetch0 = time.monotonic()
-        mirror_delta.write.mode("overwrite").parquet(mirror_path)
+        store.write.mode("overwrite").parquet(step_path)
         t_fetch = time.monotonic() - t_fetch0
         # Explicit schema: re-reading with inference would cost a driver job
         # per superstep just to re-discover a schema we already know.
-        mirror_delta = spark.read.schema(_mirror_schema()).parquet(mirror_path)
+        result_pq = spark.read.schema(_result_store_schema()).parquet(step_path)
 
-        # C6: error policy.
+        # Mirror view (lazy projection; content IS NULL marks dry-run rows,
+        # never a real saved page — 'ok' pages always carry bytes, empty 401
+        # bodies included).
+        mirror_delta = _mirror_view(result_pq)
+
+        # C6: error policy (status-only pruned read).
         if not cfg.continue_on_error:
-            err = result.filter(F.col("status") == "error").select("url").head(1)
+            err = result_pq.filter(
+                F.col("status") == "error").select("url").head(1)
             if err:
                 raise CrawlAbort(f"Couldn't download a page: {err[0].url}")
 
         # P4-P8: explode candidates, gate, dedup, grow the seen set.
         t_cand0 = time.monotonic()
         cand = (
-            result.select(
+            result_pq.select(
                 F.col("url").alias("parent_url"),
                 F.col("depth"), F.col("ext_depth"),
                 F.col("order_key").alias("parent_key"),
@@ -356,19 +365,16 @@ def crawl(
             next_frontier = next_frontier.unionByName(
                 deferred.withColumn("superstep", F.lit(step + 1)))
 
-        # Small (content-free) delta for this superstep: ONE localCheckpoint
-        # materializes everything the crawl log AND the metrics need (host,
-        # byte counts captured as columns before the heavyweight ``result``
-        # cache is released); the per-host metrics rollup stays a lazy
-        # aggregation over it — no second materialization job per superstep.
+        # Small (content-free) delta for this superstep: a lazy column-pruned
+        # projection of the superstep parquet (stable storage — no
+        # checkpoint job needed); metrics stay a lazy rollup over it.
         t_deltas0 = time.monotonic()
-        log_delta = result.select(
+        log_delta = result_pq.select(
             "url", "depth", "ext_depth", "superstep", "order_key",
             F.col("download").alias("downloaded"), "status",
             frontier_ops.host_col("fetch_url").alias("__host"),
-            F.coalesce(F.length("content"), F.lit(0)).cast("long")
-            .alias("__n_bytes"),
-        ).localCheckpoint(eager=True)
+            F.col("n_bytes").alias("__n_bytes"),
+        )
         metrics_delta = (
             log_delta.groupBy(
                 F.lit(step).alias("superstep"),
@@ -415,12 +421,10 @@ def crawl(
         else:
             frontier_count = int(counts.gated or 0)
 
-        # mirror is parquet-backed, log/metrics localCheckpointed — the
-        # content-bearing superstep cache is no longer needed.
+        # all three are lazy views over the superstep's parquet store
         mirror_deltas.append(mirror_delta)
         log_deltas.append(log_delta)
         metric_deltas.append(metrics_delta)
-        result.unpersist()
 
         wall = time.monotonic() - t0
         wall_times.append(wall)
@@ -519,6 +523,30 @@ def _union_all(spark, dfs, schema):
 def _mirror_schema():
     from ..schemas import MIRROR_SCHEMA
     return MIRROR_SCHEMA
+
+
+def _result_store_schema():
+    """Per-superstep parquet store: PAGE_RESULT minus page_text (produced by
+    the parse pass but consumed by nothing in the loop — shipping it through
+    Arrow + parquet would roughly double the write bytes of an HTML-heavy
+    superstep) plus the precomputed n_bytes."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    fields = [f for f in PAGE_RESULT_SCHEMA.fields if f.name != "page_text"]
+    return StructType(fields + [StructField("n_bytes", LongType())])
+
+
+def _mirror_view(result_pq: DataFrame) -> DataFrame:
+    """Mirror projection over a superstep result store (see crawl loop)."""
+    return (
+        result_pq.filter(
+            (F.col("status") == "ok") & F.col("download")
+            & F.col("content").isNotNull())
+        .select(
+            "url", "path", "filename", "content", "superstep",
+            F.when(F.col("filename").isNotNull(), _symlink_target_col())
+            .alias("symlink_target"),
+        )
+    )
 
 
 def _log_schema():

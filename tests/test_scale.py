@@ -141,6 +141,38 @@ def test_host_budget_defers_not_drops(spark):
     assert all(r["count"] <= 3 for r in per)
 
 
+def test_priority_frontier_ordering(spark):
+    """priority_expr picks each host's budget winners by priority (ties by
+    order_key), identically with and without salting, and a priority crawl
+    still reaches the same final seen set as the FIFO crawl."""
+    from suckit_spark.operators import frontier as frontier_ops
+
+    rows = [(f"http://h0.example/p{i}.html", f"http://h0.example/p{i}.html",
+             [i]) for i in range(6)]
+    rows += [(f"http://h1.example/p{i}.html", f"http://h1.example/p{i}.html",
+              [10 + i]) for i in range(3)]
+    f = spark.createDataFrame(
+        rows, "url string, fetch_url string, order_key array<long>")
+    prio = "cast(regexp_extract(url, 'p([0-9]+)', 1) as int)"
+    for buckets in (1, 8):
+        sel, defer = frontier_ops.apply_host_budget(
+            f, 2, salt_buckets=buckets, priority_expr=prio)
+        got = {r.url for r in sel.collect()}
+        assert got == {"http://h0.example/p5.html", "http://h0.example/p4.html",
+                       "http://h1.example/p2.html", "http://h1.example/p1.html"}
+        assert defer.count() == 9 - 4
+
+    # crawl level: priority changes scheduling, never the reachable set
+    n_hosts, per_host = 3, 8
+    crows = corpus.gen_corpus_rows(n_hosts, per_host, fanout=2)
+    base = CrawlConfig(origin=origin(n_hosts), ext_depth=-1,
+                       continue_on_error=True, host_budget=2)
+    fifo = crawl(spark, base, pages_df(spark, crows))
+    pcrawl = crawl(spark, base.with_(priority_expr=prio), pages_df(spark, crows))
+    assert ({r.url for r in pcrawl.seen.collect()}
+            == {r.url for r in fifo.seen.collect()})
+
+
 def test_checkpoint_resume_exact(spark, tmp_path):
     """Kill-and-resume: crawl limited to 2 supersteps, then resume from the
     snapshot — final state identical to an uninterrupted run."""
