@@ -67,6 +67,10 @@ def main() -> None:
         # Bound the Arrow batch so python workers stream ~100 MB peaks
         # instead of materializing a whole partition of 64 KiB pages.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        # Push small-frontier IN lists as real eq-chains (not a min/max
+        # range, useless for scattered urls) so sorted buckets can prune at
+        # page level too.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(os.environ.get("SUCKIT_LOG_LEVEL", "ERROR"))

@@ -421,6 +421,12 @@ def crawl(
         else:
             frontier_count = int(counts.gated or 0)
 
+        # S9 log sink (logger.rs): verbose echoes every URL of the superstep
+        # in canonical order on the driver — debug surface, off by default.
+        if cfg.verbose:
+            from .. import logger as logkit
+            logkit.echo_superstep(log_delta, step)
+
         # all three are lazy views over the superstep's parquet store
         mirror_deltas.append(mirror_delta)
         log_deltas.append(log_delta)
