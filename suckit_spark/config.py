@@ -89,6 +89,12 @@ class CrawlConfig:
     #: loss bounded by bloom_fpp), never visit one twice. Default off: the
     #: exact anti-join is the reference-parity contract.
     bloom_exclusive: bool = False
+    #: which approximate seen-set sketch backs the prefilter / exclusive
+    #: mode once bloom_threshold engages: "bloom" (smallest memory) or
+    #: "cuckoo" (supports DELETION — un-see urls for re-crawl workflows;
+    #: north_star's deletion fallback). Both are range-partitioned,
+    #: executor-built, broadcast-probed.
+    seen_sketch: str = "bloom"
     #: mega-host skew: the politeness-budget window is the crawl's only
     #: host-keyed ranking stage; with >1 salt bucket it runs as a two-phase
     #: (salted pre-rank, then exact re-rank over <= budget*buckets survivors

@@ -219,6 +219,12 @@ class BloomState:
             self.blobs[rg] = blob
         return blob
 
+    def might_contain_col(self, spark, col: Column) -> Column:
+        """Vectorized membership probe column over this filter version."""
+        probe = might_contain_udf(spark, self.broadcast(spark), self.k)
+        return probe(_range_col(col, self.num_ranges),
+                     *_position_cols(col, self.m, self.k))
+
 
 def might_contain_udf(spark, blobs, k: int):
     """Vectorized membership probe: range id column + k position columns.
@@ -270,9 +276,8 @@ def anti_join_seen(
     """
     spark = candidates.sparkSession
     if bloom_state is not None and bloom_state.blobs:
-        blobs, m, k, num_ranges = (bloom_state.broadcast(spark),
-                                   bloom_state.m,
-                                   bloom_state.k, bloom_state.num_ranges)
+        # any seen-sketch exposing might_contain_col (BloomState/CuckooState)
+        maybe_col = bloom_state.might_contain_col(spark, F.col(url_col))
     else:
         use_bloom = (
             bloom_threshold is not None
@@ -284,11 +289,10 @@ def anti_join_seen(
                 seen.select(url_col), on=url_col, how="left_anti")
         blobs, m, k, num_ranges = build_bloom(
             seen, url_col, seen_count, bloom_fpp, num_ranges)
-    probe = might_contain_udf(spark, blobs, k)
-    pos_cols = _position_cols(F.col(url_col), m, k)
-    tagged = candidates.withColumn(
-        "__maybe_seen",
-        probe(_range_col(F.col(url_col), num_ranges), *pos_cols))
+        probe = might_contain_udf(spark, blobs, k)
+        maybe_col = probe(_range_col(F.col(url_col), num_ranges),
+                          *_position_cols(F.col(url_col), m, k))
+    tagged = candidates.withColumn("__maybe_seen", maybe_col)
     definite_new = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     survivors = maybe.join(seen.select(url_col), on=url_col, how="left_anti")
@@ -305,11 +309,8 @@ def probe_unseen(candidates: DataFrame, bloom_state: BloomState,
     duplicate visit). The exact-backstop path (:func:`anti_join_seen`) stays
     the default correctness contract."""
     spark = candidates.sparkSession
-    probe = might_contain_udf(
-        spark, bloom_state.broadcast(spark), bloom_state.k)
-    pos_cols = _position_cols(F.col(url_col), bloom_state.m, bloom_state.k)
     return candidates.filter(
-        ~probe(_range_col(F.col(url_col), bloom_state.num_ranges), *pos_cols))
+        ~bloom_state.might_contain_col(spark, F.col(url_col)))
 
 
 def first_wins(candidates: DataFrame, key_col: str, order_col: str) -> DataFrame:

@@ -202,7 +202,8 @@ def crawl(
     pending_seen = [] if (resume and ckpt is not None
                           and step > 0) else list(seen_deltas)
 
-    bloom_state: dedup_ops.BloomState | None = None
+    # seen-set sketch: BloomState or CuckooState (same interface)
+    bloom_state = None
 
     robots_udf = None
     if cfg.respect_robots:
@@ -406,12 +407,19 @@ def crawl(
         seen_deltas.append(seen_delta)
         pending_seen.append(seen_delta)
         seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
-        # Maintain the incremental seen-set bloom once past the threshold.
+        # Maintain the incremental seen-set sketch once past the threshold
+        # (bloom by default; cuckoo when deletions must stay possible).
         if cfg.bloom_threshold is not None and seen_count >= cfg.bloom_threshold:
             if bloom_state is None:
-                bloom_state = dedup_ops.BloomState(
-                    "url", capacity=seen_count * dedup_ops.BloomState.GROWTH,
-                    fpp=cfg.bloom_fpp)
+                if cfg.seen_sketch == "cuckoo":
+                    from ..operators.cuckoo import CuckooState
+                    bloom_state = CuckooState(
+                        "url", capacity=seen_count * CuckooState.GROWTH)
+                else:
+                    bloom_state = dedup_ops.BloomState(
+                        "url",
+                        capacity=seen_count * dedup_ops.BloomState.GROWTH,
+                        fpp=cfg.bloom_fpp)
                 bloom_state.add(seen, seen_count)
             else:
                 bloom_state.add(seen_delta, new_count, full_seen=seen)
