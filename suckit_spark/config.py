@@ -106,11 +106,14 @@ class CrawlConfig:
     skew_salt_buckets: int = 16
     #: small-frontier fetch fast path: when the frontier holds at most this
     #: many rows, the fetch pushes the frontier's fetch_urls into the corpus
-    #: scan as an IN filter (bucket pruning + parquet row-group stats skip
-    #: the rest of the corpus) instead of scanning every bucket for a
-    #: handful of rows. Exact — the filter keeps every possible join match.
-    #: 0 disables.
-    fetch_in_filter_threshold: int = 4096
+    #: scan as an IN filter (bucket pruning + parquet page stats skip most
+    #: of the corpus). Exact — the filter keeps every possible join match.
+    #: Default 0 (off): the per-superstep collect + literal-IN planning costs
+    #: ~0.5 s, which LOSES whenever the corpus scan is cheap (measured -20%
+    #: throughput on the light-page bench corpus); enable it only when scan
+    #: decode dominates tail supersteps (very heavy pages, very wide
+    #: corpora, remote object storage).
+    fetch_in_filter_threshold: int = 0
     #: frontier priority (north_rule "priority queue"): SQL expression over
     #: frontier columns (url, fetch_url, depth, ext_depth, superstep,
     #: order_key); higher fetches first within each host's budget, ties by
