@@ -252,6 +252,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = lambda spark, sf: webtext.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), n=3, threshold=0.2, max_df=20)
 
+    q["near_dup_clusters"] = lambda spark, sf: webtext.near_dup_clusters(
+        webtext.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), n=3, threshold=0.2, max_df=20))
+
+    q["dedup_keep_canonical"] = lambda spark, sf: webtext.dedup_keep_canonical(
+        _t(spark, sf, "documents"),
+        webtext.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), n=3, threshold=0.2, max_df=20),
+    ).select("doc_id")
+
     q["minhash_signatures"] = lambda spark, sf: webtext.minhash_signatures(
         _t(spark, sf, "documents"), num_hashes=8)
 
@@ -468,6 +478,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    """
+
+    # connected components over the ngram pair graph: recursive transitive
+    # closure, component id = min reachable doc id (matches the Spark
+    # min-label propagation fixpoint)
+    _pairs_ctes = o["ngram_jaccard_pairs"].strip()
+    assert _pairs_ctes.startswith("WITH ")
+    _cluster_sql = (
+        "WITH RECURSIVE " + _pairs_ctes[len("WITH "):].replace(
+            "SELECT doc_a, doc_b,", ", pairs AS (SELECT doc_a, doc_b,", 1)
+        .replace("WHERE inter / (sa.sz + sb.sz - inter) >= 0.2",
+                 "WHERE inter / (sa.sz + sb.sz - inter) >= 0.2)", 1)
+        + """,
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        )
+        """)
+    o["near_dup_clusters"] = _cluster_sql + "SELECT doc_id, cluster_id FROM clusters"
+    o["dedup_keep_canonical"] = _cluster_sql + """
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
     """
 
     # minhash signature: k=8 md5-salted hash mins — same expressions as Spark

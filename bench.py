@@ -106,6 +106,11 @@ def run_crawl(spark, cpus: int) -> dict:
 def run_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
+    # Warm the session once (codegen, parquet reader, Arrow python workers)
+    # so the first timed query measures its plan, not JVM start-up.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    spark.range(100_000).selectExpr("sum(id)").toPandas()
+
     qs = entrymod.queries()
     out = {}
     for name in HEADLINE:

@@ -294,3 +294,34 @@ def test_exact_dedup_finds_real_dups(spark):
     got = {r.content_hash: (r.rep_doc_id, r.dup_count)
            for r in webtext.exact_dedup(df).collect()}
     assert sorted(v for v in got.values()) == [(0, 5), (9, 1)]
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B, B~C, D~E: components {A,B,C} and {D,E}, cluster id = min member —
+    transitive closure across pairs that were never directly compared."""
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 5), (11, 9)], "doc_a int, doc_b int")
+    got = {(r.doc_id, r.cluster_id)
+           for r in webtext.near_dup_clusters(pairs).collect()}
+    assert got == {(2, 2), (7, 2), (5, 2), (9, 9), (11, 9)}
+
+
+def test_near_dup_clusters_chain_diameter(spark):
+    """A path graph (worst diameter) still converges to one component."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a int, doc_b int")
+    rows = webtext.near_dup_clusters(pairs).collect()
+    assert len(rows) == n + 1
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id int, text string")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 4)], "doc_a int, doc_b int")
+    kept = {r.doc_id
+            for r in webtext.dedup_keep_canonical(docs, pairs).collect()}
+    # cluster {1,3,4} -> keep 1; unpaired 0,2,5 all kept
+    assert kept == {0, 1, 2, 5}
