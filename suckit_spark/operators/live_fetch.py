@@ -146,6 +146,13 @@ def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """The live S2: map the selected frontier to fetched rows, one HTTP GET
     per row, partition-parallel, no shuffle."""
 
+    # C1 (reference worker pool, args.rs:22-29): ``jobs`` bounds the number
+    # of simultaneous connections — realized as the fetch stage's partition
+    # count. jobs=1 (the reference default) serializes requests exactly like
+    # the single-worker crawl.
+    if cfg.jobs and cfg.jobs > 0:
+        frontier = frontier.repartition(cfg.jobs)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         opener = _default_opener(cfg)
         for pdf in batches:

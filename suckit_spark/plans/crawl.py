@@ -206,10 +206,16 @@ def crawl(
     bloom_state = None
 
     robots_udf = None
+    live_robots_rules: dict | None = None
     if cfg.respect_robots:
         from ..operators import robots as robots_ops
-        rules = robots_ops.collect_robots_rules(pages)
-        robots_udf = robots_ops.allowed_filter(spark, rules)
+        if cfg.live_fetch:
+            # live mode: rules are fetched over HTTP per newly-seen host,
+            # incrementally, inside the loop (one robots.txt per host ever).
+            live_robots_rules = {}
+        else:
+            rules = robots_ops.collect_robots_rules(pages)
+            robots_udf = robots_ops.allowed_filter(spark, rules)
 
     frontier_count = frontier.count()
     while frontier_count > 0:
@@ -241,6 +247,32 @@ def crawl(
         # hashes of one mega-host already spread uniformly.
         if cfg.live_fetch:
             from ..operators import live_fetch as live_fetch_ops
+            if live_robots_rules is not None:
+                # Fetch robots.txt for hosts this superstep introduces; the
+                # driver holds one small rules dict (one entry per host) and
+                # re-broadcasts only when it grew.
+                from ..operators import robots as robots_ops
+                bases = (
+                    selected.select(
+                        F.regexp_extract(
+                            "fetch_url", "^(https?://[^/]+)", 1).alias("base"),
+                        frontier_ops.host_col().alias("h"))
+                    .distinct().collect())
+                grew = False
+                for r in bases:
+                    if not r.h or r.h in live_robots_rules:
+                        continue
+                    got = live_fetch_ops.fetch_one(
+                        cfg, f"{r.base}/robots.txt")
+                    txt = ""
+                    if got["found"] and got["status"] == 200 and got["html"]:
+                        txt = bytes(got["html"]).decode(
+                            "utf-8", errors="replace")
+                    live_robots_rules[r.h] = robots_ops.parse_robots(txt)
+                    grew = True
+                if grew or robots_udf is None:
+                    robots_udf = robots_ops.allowed_filter(
+                        spark, dict(live_robots_rules))
             fetched = live_fetch_ops.fetch_frontier(selected, cfg)
         else:
             pages_k = fetch_pages.withColumnRenamed("url", "page_url")

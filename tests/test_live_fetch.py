@@ -188,3 +188,38 @@ def test_live_crawl_matches_corpus_crawl(spark, site_server):
     assert all(h.get("Cookie") == "sid=42" for h in hdrs)
     expected.close()
     live.close()
+
+
+def test_live_robots_blocks_disallowed(spark, site_server):
+    base = site_server
+    _SiteHandler.site = dict(_make_site(base))
+    _SiteHandler.site["/robots.txt"] = b"User-agent: *\nDisallow: /a.html\n"
+    try:
+        cfg = CrawlConfig(origin=f"{base}/index.html", continue_on_error=True,
+                          respect_robots=True)
+        live = crawl(spark, cfg.with_(live_fetch=True),
+                     spark.createDataFrame([], PAGES_SCHEMA))
+        seen = {r.url for r in live.seen.collect()}
+        assert f"{base}/a.html" not in seen          # disallowed: never enqueued
+        assert f"{base}/b.html#s" in seen            # sibling still crawled
+                                                     # (seen keys keep fragments)
+        # robots.txt itself requested exactly once
+        paths = [h.get("Host") for h in _SiteHandler.seen_headers]
+        assert paths  # server saw traffic
+    finally:
+        _SiteHandler.site = _make_site(base)
+
+
+def test_live_jobs_partitioning(spark, site_server):
+    """jobs=1 (reference default) serializes the fetch stage into one task."""
+    base = site_server
+    from suckit_spark.operators import live_fetch as lf
+    frontier = spark.createDataFrame(
+        [(f"{base}/index.html", f"{base}/index.html", 0, 0, 0, [0]),
+         (f"{base}/a.html", f"{base}/a.html", 0, 0, 0, [1])],
+        "url string, fetch_url string, depth int, ext_depth int, "
+        "superstep int, order_key array<long>")
+    cfg = CrawlConfig(origin=f"{base}/index.html", jobs=1)
+    out = lf.fetch_frontier(frontier, cfg)
+    assert out.rdd.getNumPartitions() == 1
+    assert out.count() == 2
