@@ -9,10 +9,10 @@ at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
      "queries": {...}, "sf": ..., "crawl": {...}}
 
 Scaling mode (``--scaling``, north_rule evidence): submits the identical
-crawl job via spark-submit at local[N] and local[4N] (default 4 vs 16 task
-slots — sized so even the 4N level keeps the shared box unstarved) on the
-same input and writes throughput at both levels plus the scaling efficiency
-to BENCH/BASELINE.md.
+crawl job via spark-submit at local[N] and local[4N] (default 2 vs 8 task
+slots — sized so even the 4N level keeps the shared box unstarved; see
+BENCH/BASELINE.md "Level sizing") on the same input and writes throughput
+at both levels plus the scaling efficiency to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -103,13 +103,16 @@ def run_crawl(spark, cpus: int) -> dict:
     }
 
 
-def run_queries(spark) -> dict:
-    import __spark_entry__ as entrymod
-
-    # Warm the session once (codegen, parquet reader, Arrow python workers)
-    # so the first timed query measures its plan, not JVM start-up.
+def warm_session(spark) -> None:
+    """One untimed pass over the cold paths (codegen, parquet reader, Arrow
+    python workers) so the first timed query measures its plan, not JVM
+    start-up."""
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     spark.range(100_000).selectExpr("sum(id)").toPandas()
+
+
+def run_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     out = {}
@@ -125,6 +128,7 @@ def run_queries(spark) -> dict:
 def main_bench():
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_session(spark)
     t0 = time.monotonic()
     # queries first: the crawl's retained superstep checkpoints would
     # otherwise pressure the query timings
