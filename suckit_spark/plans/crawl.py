@@ -237,8 +237,8 @@ def crawl(
         # the pages side must expose a reusable url partitioning (Iceberg
         # ``bucket(N, url)`` at the 10^10 design point; a parquet ``bucketBy``
         # table in the sandbox, scripts/submit_crawl.py) so its scan avoids
-        # both exchange and sort. A flat un-bucketed corpus still works but
-        # re-shuffles the corpus per superstep — correct, not scale-shaped.
+        # both exchange and sort. A flat un-bucketed corpus was re-laid-out
+        # ONCE above (repartition + sort + persist), so it joins the same way.
         # (Broadcasting a small frontier is NOT an option here: Spark cannot
         # build the preserved side of an outer join, so a broadcast hint on
         # the frontier of a right-outer join silently degrades to shuffling
