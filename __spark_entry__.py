@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = lambda spark, sf: webtext.minhash_lsh_pairs(
         _t(spark, sf, "documents"), num_hashes=16, bands=4)
 
+    # hot-bucket cap (max_bucket): degenerate (band, hash) buckets dropped
+    # before any pair exists — the LSH analogue of max_df
+    q["minhash_lsh_pairs_capped"] = lambda spark, sf: webtext.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=16, bands=4, max_bucket=10)
+
     q["simhash_fingerprints"] = lambda spark, sf: webtext.simhash(
         _t(spark, sf, "documents"))
 
@@ -699,6 +704,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+    # capped variant: (band, hash) buckets above max_bucket=10 are dropped
+    # BEFORE pair generation (both engines apply the identical rule)
+    o["minhash_lsh_pairs_capped"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct({_shingles(3)})) AS shingle
+          FROM base
+        ), sig AS (
+          SELECT doc_id, {min16} FROM sh GROUP BY doc_id
+        ), banded AS (
+          {band_selects}
+        ), kept AS (
+          SELECT * FROM banded WHERE (band, bh) IN (
+            SELECT (band, bh) FROM banded GROUP BY band, bh
+            HAVING count(*) <= 10)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     """
 

@@ -78,6 +78,21 @@ class CrawlConfig:
     host_budget: int | None = None
     #: honor robots.txt Disallow rules found in the pages table.
     respect_robots: bool = False
+    #: robots gate realization by scale (operators/robots.py): when the
+    #: corpus has at least this many robots.txt hosts, the rules become a
+    #: distributed ``(host, prefixes)`` table and candidates are gated by an
+    #: equi-join on host (no driver collect of the rules); below it, the
+    #: rules are a driver dict + broadcast pandas-UDF filter (cheapest when
+    #: the dict is small). None = always the broadcast dict. Live mode always
+    #: uses the dict (rules accrue incrementally, one host at a time).
+    robots_join_threshold: int | None = 10_000
+    #: compact the in-memory seen-delta list into one materialized table
+    #: whenever it exceeds this many deltas: the anti-join reads a lazy union
+    #: of per-superstep deltas, and at thousands of supersteps an uncompacted
+    #: union plan gets very wide (plan/serialization cost grows per step).
+    #: Compaction costs one O(seen) localCheckpoint every K steps — amortized
+    #: O(seen/K) — and caps the union width at K. None disables.
+    seen_compact_interval: int | None = 16
     #: bloom prefilter in front of the seen anti-join once seen exceeds this
     #: many rows (None disables).
     bloom_threshold: int | None = 10_000

@@ -134,6 +134,21 @@ class CuckooState:
 
     def add(self, delta: DataFrame, delta_count: int,
             full_seen: DataFrame | None = None) -> None:
+        """Insert a delta. ``delta`` must hold urls not previously inserted
+        (the crawl's deltas are exactly the newly-seen urls): re-inserting a
+        url adds a second copy of its fingerprint, which drifts the
+        count/capacity accounting and makes a later :meth:`delete` of the
+        OTHER copy leave a stale positive."""
+        if (self.count + delta_count > self.capacity and full_seen is None
+                and self.blobs):
+            # Rebuilding the grown geometry from the delta alone would drop
+            # every previously-inserted url (false negatives). Raise BEFORE
+            # mutating state so the caller can retry with full_seen.
+            raise ValueError(
+                "CuckooState growth triggered (count "
+                f"{self.count + delta_count} > capacity {self.capacity}) "
+                "but no full_seen DataFrame was passed; rebuilding from the "
+                "delta would drop every previously-added url")
         self.count += delta_count
         self._invalidate()
         if self.count > self.capacity:
@@ -156,9 +171,18 @@ class CuckooState:
 
     def delete(self, df: DataFrame) -> int:
         """Un-see urls: remove one matching fingerprint per url (bucket i1
-        first, then i2). Returns how many were found and removed. O(delete
-        set) driver traffic — deletions are the small path (re-crawl a
-        failed page), the bulk stays executor-side."""
+        first, then i2). Returns how many were found and removed (and
+        decrements ``count`` by that many, keeping the growth accounting
+        honest). O(delete set) driver traffic — deletions are the small path
+        (re-crawl a failed page), the bulk stays executor-side.
+
+        Standard cuckoo-filter caveat: deletion is only safe for urls that
+        were actually inserted, at most once per insertion — deleting a url
+        that was never added can evict a DIFFERENT url sharing its
+        (fingerprint, bucket) pair, creating a false negative. The bloom
+        sketch's "false negatives never" promise therefore holds here only
+        under that discipline (the crawl's re-crawl workflow satisfies it:
+        it deletes exactly the urls it marked seen)."""
         self._invalidate()
         pdf = df.select(
             *_cols(F.col(self.url_col), self.m, self.num_ranges)).toPandas()
@@ -175,6 +199,7 @@ class CuckooState:
                         table[i, hit[0]] = 0
                         removed += 1
                         break
+        self.count = max(0, self.count - removed)
         return removed
 
     def _writable(self, rg: int) -> np.ndarray:

@@ -166,23 +166,41 @@ class BloomState:
 
     def add(self, delta: DataFrame, delta_count: int,
             full_seen: DataFrame | None = None) -> None:
-        """OR a seen delta into the filter; rebuild from ``full_seen`` (falls
-        back to ``delta``) if capacity is exceeded.
+        """OR a seen delta into the filter; rebuild from ``full_seen`` if
+        capacity is exceeded (growth without ``full_seen`` raises — see
+        below; the delta alone cannot reconstruct the filter).
 
         The incremental path collects only the delta's SET WORDS (sparse,
         O(delta·k) rows) and ORs them into the driver-held blobs through a
         uint64 view — never the full O(m) blob per superstep.
         """
+        if self.count + delta_count > self.capacity and full_seen is None:
+            # Raise BEFORE mutating any state — the caller can retry with
+            # full_seen and the filter is still exactly what it was.
+            raise ValueError(
+                "BloomState growth triggered (count "
+                f"{self.count + delta_count} > capacity {self.capacity}) "
+                "but no full_seen DataFrame was passed; rebuilding from the "
+                "delta would drop every previously-added url")
         self.count += delta_count
         self._invalidate()
         if self.count > self.capacity:
+            if full_seen is None:
+                # Rebuilding from the delta alone would silently DISCARD every
+                # previously-added url: the new filter would report them
+                # unseen (false negatives) and the crawl would re-visit them.
+                # Growth needs the full accumulated table.
+                raise ValueError(
+                    "BloomState growth triggered (count "
+                    f"{self.count} > capacity {self.capacity}) but no "
+                    "full_seen DataFrame was passed; rebuilding from the "
+                    "delta would drop every previously-added url")
             self.capacity = max(self.count, self.capacity * self.GROWTH)
             self.num_ranges = num_ranges_for(self.capacity, self.fpp)
             self.m, self.k = bloom_params(
                 -(-self.capacity // self.num_ranges), self.fpp)
-            source = full_seen if full_seen is not None else delta
             self.blobs = _build_blobs(
-                source, self.url_col, self.m, self.k, self.num_ranges)
+                full_seen, self.url_col, self.m, self.k, self.num_ranges)
             return
         if delta_count * self.k <= 4_000_000:
             # Small delta: one narrow job (no shuffle) collecting the raw

@@ -55,16 +55,21 @@ FETCHED_SCHEMA = StructType([
     StructField("auth_pass", StringType()),
     StructField("status", IntegerType()),
     StructField("found", BooleanType()),
+    StructField("set_cookie", StringType()),   # response Set-Cookie, \n-joined
 ])
 
 
-def build_request(cfg: CrawlConfig, url: str) -> urllib.request.Request:
+def build_request(cfg: CrawlConfig, url: str,
+                  extra_cookie: str | None = None) -> urllib.request.Request:
     """One GET request with the reference's headers: UA always; Cookie when
-    configured; basic auth only when the URL's host has an auth-map entry
+    configured (or, failing that, the crawl's relayed session cookies for
+    this host); basic auth only when the URL's host has an auth-map entry
     (credentials never leak cross-host, downloader.rs:55-62)."""
     headers = {"User-Agent": cfg.user_agent}
     if cfg.cookie:
         headers["Cookie"] = cfg.cookie
+    elif extra_cookie:
+        headers["Cookie"] = extra_cookie
     host = urlkit.url_host(url)
     cred = build_auth_map(list(cfg.auth), cfg.origin).get(host) if host else None
     if cred:
@@ -84,17 +89,53 @@ def make_ssl_context(cfg: CrawlConfig) -> ssl.SSLContext:
     return ctx
 
 
-def _default_opener(cfg: CrawlConfig):
+#: Per-worker-process cookie jars, keyed by the crawl's session token
+#: (crawl() mints one per run). Spark reuses python workers across tasks
+#: (``spark.python.worker.reuse``), so a jar keyed here survives from one
+#: superstep's fetch stage to the next within each worker — the distributed
+#: analogue of the reference's single client-wide cookie store
+#: (downloader.rs:73-83): ``jobs=N`` behaves like N independent clients,
+#: each with its own accumulating jar.
+_PROCESS_JARS: dict = {}
+
+
+def _default_opener(cfg: CrawlConfig, jar_key: str | None = None):
+    """One opener per fetch partition: TLS context plus an ACCUMULATING
+    cookie jar (reference ``cookie_store(true)``, downloader.rs:73-83), so a
+    ``Set-Cookie`` issued by one response rides along on every later request
+    this opener (and, via ``jar_key``, this worker process) makes — a
+    login-walled site that hands out a session cookie mid-crawl keeps
+    working. The static ``--cookie`` header still wins on conflict:
+    ``CookieJar.add_cookie_header`` only fills in a Cookie header when the
+    request doesn't already carry one (and :func:`build_request` sets it
+    explicitly when ``cfg.cookie`` is given)."""
+    import http.cookiejar
+
     ctx = make_ssl_context(cfg)
+    jar = (http.cookiejar.CookieJar() if jar_key is None
+           else _PROCESS_JARS.setdefault(jar_key, http.cookiejar.CookieJar()))
+    url_opener = urllib.request.build_opener(
+        urllib.request.HTTPSHandler(context=ctx),
+        urllib.request.HTTPCookieProcessor(jar))
+
+    def _headers(msg) -> dict:
+        hdrs = dict(msg or {})
+        # dict() keeps only the LAST of repeated headers; multiple Set-Cookie
+        # lines are the norm, so re-join them all (newline — commas appear
+        # inside Expires attributes and cannot delimit).
+        all_sc = msg.get_all("Set-Cookie") if msg is not None else None
+        if all_sc:
+            hdrs["set-cookie"] = "\n".join(all_sc)
+        return hdrs
 
     def opener(req: urllib.request.Request):
         try:
-            with urllib.request.urlopen(req, timeout=30, context=ctx) as resp:
-                return resp.status, dict(resp.headers), resp.read()
+            with url_opener.open(req, timeout=30) as resp:
+                return resp.status, _headers(resp.headers), resp.read()
         except urllib.error.HTTPError as e:
             # An HTTP error status is a response, not a transport failure:
             # the reference processes e.g. the 401 body like any page.
-            return e.code, dict(e.headers or {}), e.read()
+            return e.code, _headers(e.headers), e.read()
 
     return opener
 
@@ -114,12 +155,13 @@ def politeness_sleep(cfg: CrawlConfig, url: str) -> float:
     return total
 
 
-def fetch_one(cfg: CrawlConfig, url: str, opener=None) -> dict:
+def fetch_one(cfg: CrawlConfig, url: str, opener=None,
+              extra_cookie: str | None = None) -> dict:
     """GET ``url`` with up to ``cfg.tries`` attempts on transport failure
     (downloader.rs:174-184). Returns body/headers/status, or
     ``found=False`` once the retry budget is exhausted."""
     opener = opener or _default_opener(cfg)
-    req = build_request(cfg, url)
+    req = build_request(cfg, url, extra_cookie=extra_cookie)
     last_err: Exception | None = None
     for _ in range(max(1, cfg.tries)):
         try:
@@ -132,19 +174,49 @@ def fetch_one(cfg: CrawlConfig, url: str, opener=None) -> dict:
             "html": body,
             "content_type": lower.get("content-type"),
             "content_disposition": lower.get("content-disposition"),
+            "set_cookie": lower.get("set-cookie"),
             "status": int(status),
             "found": True,
             "error": None,
         }
     return {
         "html": None, "content_type": None, "content_disposition": None,
+        "set_cookie": None,
         "status": 0, "found": False, "error": repr(last_err),
     }
 
 
-def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def merge_set_cookie_lines(store: dict, host: str, lines: str) -> None:
+    """Fold newline-joined ``Set-Cookie`` header lines into a driver-held
+    ``host -> {name: value}`` store. Name=value only — attribute semantics
+    (Path, Expires, Secure) stay with the per-worker CookieJar; the relay
+    covers the common case, a session cookie that must reach every later
+    request regardless of which executor fetched the page that minted it."""
+    jar = store.setdefault(host, {})
+    for line in lines.split("\n"):
+        kv = line.split(";", 1)[0].strip()
+        if "=" in kv:
+            name, _, value = kv.partition("=")
+            if name.strip():
+                jar[name.strip()] = value.strip()
+
+
+def render_cookie_headers(store: dict) -> dict[str, str]:
+    """``host -> "k=v; k2=v2"`` snapshot for :func:`fetch_frontier`."""
+    return {h: "; ".join(f"{k}={v}" for k, v in d.items())
+            for h, d in store.items() if d}
+
+
+def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig,
+                   jar_key: str | None = None,
+                   relay_cookies: dict[str, str] | None = None) -> DataFrame:
     """The live S2: map the selected frontier to fetched rows, one HTTP GET
-    per row, partition-parallel, no shuffle."""
+    per row, partition-parallel, no shuffle. ``jar_key`` (crawl() passes a
+    per-run token) keys the worker-process cookie jar so Set-Cookie state
+    accumulates across this crawl's supersteps (see ``_PROCESS_JARS``);
+    ``relay_cookies`` (host -> rendered Cookie header) is the driver-relayed
+    session-cookie state from PREVIOUS supersteps — worker-agnostic, so a
+    cookie minted on one executor reaches requests on every other."""
 
     # C1 (reference worker pool, args.rs:22-29): ``jobs`` bounds the number
     # of simultaneous connections — realized as the fetch stage's partition
@@ -153,13 +225,17 @@ def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     if cfg.jobs and cfg.jobs > 0:
         frontier = frontier.repartition(cfg.jobs)
 
+    relay = relay_cookies or {}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        opener = _default_opener(cfg)
+        opener = _default_opener(cfg, jar_key=jar_key)
         for pdf in batches:
             out = []
             for row in pdf.to_dict("records"):
                 politeness_sleep(cfg, row["fetch_url"])
-                got = fetch_one(cfg, row["fetch_url"], opener=opener)
+                host = urlkit.url_host(row["fetch_url"])
+                got = fetch_one(cfg, row["fetch_url"], opener=opener,
+                                extra_cookie=relay.get(host) if host else None)
                 out.append({
                     "url": row["url"], "fetch_url": row["fetch_url"],
                     "depth": row["depth"], "ext_depth": row["ext_depth"],
@@ -171,6 +247,7 @@ def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
                     "requires_auth": False,
                     "auth_user": None, "auth_pass": None,
                     "status": got["status"], "found": got["found"],
+                    "set_cookie": got["set_cookie"],
                 })
             yield (pd.DataFrame(out) if out
                    else pd.DataFrame(columns=[f.name for f in FETCHED_SCHEMA]))

@@ -151,6 +151,9 @@ def make_page_pipeline(cfg: CrawlConfig, emit_page_text: bool = True):
                     "order_key": row["order_key"],
                     "http_status": http_status,
                     "download": cfg.download_ok(row["url"]),
+                    # live mode: response Set-Cookie rides through to the
+                    # driver's relay store (None in corpus mode)
+                    "set_cookie": row.get("set_cookie"),
                 }
                 if not found:
                     out_rows.append({
@@ -177,6 +180,6 @@ def make_page_pipeline(cfg: CrawlConfig, emit_page_text: bool = True):
                 columns=["url", "fetch_url", "depth", "ext_depth", "superstep",
                          "order_key", "status", "http_status", "kind", "path",
                          "filename", "content", "page_text", "charset",
-                         "download", "links"])
+                         "download", "links", "set_cookie"])
 
     return pipeline

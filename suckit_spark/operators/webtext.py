@@ -97,12 +97,19 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     a single array row, which would OOM one executor on the first
     df≈N stop-shingle.
     """
+    # No .persist() on the shared intermediates: ``sh`` (and ``postings``
+    # below) each feed two consumers, but the expensive part — the exchange
+    # hash-partitioning the exploded shingles — is planned identically in
+    # both branches, so Spark's ReusedExchange serves it from the shuffle
+    # files it already wrote; only the cheap post-shuffle aggregation
+    # recomputes. Caching them instead leaked block-manager memory for the
+    # session lifetime (round-2 finding: repeated calls accumulated cached
+    # shingle tables until eviction thrash).
     sh = _spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(tokens_col(), n))).alias("shingle"),
     )
     if max_df is None:
-        sh = sh.persist()
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
         b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
@@ -129,7 +136,6 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     postings = sh.groupBy("shingle").agg(
         F.collect_list("doc_id").alias("docs"))
     postings = postings.filter(F.size("docs") <= max_df)
-    postings = postings.persist()  # feeds sizes + pair generation
 
     sizes = (
         postings.select(F.explode("docs").alias("doc_id"))
@@ -185,6 +191,7 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     edges = edges.distinct().localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
+    changed = 0
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -200,6 +207,17 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A component with diameter > max_iters would get inconsistent labels
+        # and dedup_keep_canonical would silently keep several documents from
+        # one cluster — surface it instead (the ``changed`` count is already
+        # computed every round, so this costs nothing extra).
+        import warnings
+        warnings.warn(
+            f"near_dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); component labels are "
+            "inconsistent — raise max_iters (rounds needed = graph diameter)",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -232,11 +250,27 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16,
 
 
 def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 16,
-                      bands: int = 4, n: int = 3) -> DataFrame:
+                      bands: int = 4, n: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash + LSH candidate pairs: band the signature, hash each band,
     bucket-join documents sharing a band hash. The join is on (band, hash) —
     each band is one equi-join key, so candidate generation is a hash shuffle,
-    not a cross product."""
+    not a cross product.
+
+    ``max_bucket`` caps the size of a single (band, hash) bucket — the LSH
+    analogue of ``ngram_jaccard_pairs``'s ``max_df`` stop-shingle cap. A
+    degenerate bucket of df near-identical documents (boilerplate pages,
+    exact-duplicate spam) otherwise emits df² candidate pairs; a bucket that
+    big carries no discrimination signal, so dropping it bounds the worst
+    key's output at max_bucket² while leaving selective buckets untouched.
+    ``None`` (the default) keeps the uncapped reference semantics.
+
+    Physical shape, capped: ONE shuffle of the banded rows (groupBy
+    (band, hash) → member list), buckets above the cap dropped BEFORE any
+    pair exists, then pairs are generated inside the bounded array
+    (≤ max_bucket² structs per bucket) — the same in-array expansion the
+    capped ``max_df`` path uses, safe for exactly the same reason.
+    """
     sig = minhash_signatures(documents, num_hashes, n)
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -248,6 +282,25 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 16,
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket is not None:
+        buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.collect_list("doc_id").alias("docs"))
+            .filter(F.size("docs") <= max_bucket)
+        )
+        ds = F.array_sort(F.col("docs"))
+        pair_structs = F.filter(
+            F.flatten(F.transform(
+                ds, lambda x: F.transform(ds, lambda y: F.struct(
+                    x.alias("doc_a"), y.alias("doc_b"))))),
+            lambda s: s["doc_a"] < s["doc_b"],
+        )
+        return (
+            buckets.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"),
+                    F.col("p.doc_b").alias("doc_b"))
+            .distinct()
+        )
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -490,17 +543,47 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.9,
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, n_centroids: int,
+                     seed: int = 42, max_iter: int = 20) -> DataFrame:
+    """Train k-means cell centroids for :func:`ivf_topk` with
+    ``pyspark.ml.clustering.KMeans`` (fixed seed — deterministic given the
+    same input partitioning). Vectors are L2-NORMALIZED before training
+    (spherical k-means): ``ivf_topk`` assigns cells by COSINE, and on unit
+    vectors Euclidean k-means optimizes exactly that metric — training on raw
+    lengths would split cells by magnitude the cosine assignment ignores.
+    Returns a tiny ``(cid, cv)`` DataFrame ready to broadcast; the training
+    job is the only extra cost and is fully distributed (Spark ML's KMeans is
+    itself a DataFrame aggregation loop)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = F.col("embedding")
+    unit = F.transform(e, lambda x: x.cast("double") / F.sqrt(_dot(e, e)))
+    feats = embeddings.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = embeddings.sparkSession
+    rows = [(i, [float(v) for v in c])
+            for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cid int, cv array<double>")
+
+
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
-             n_centroids: int = 16, n_probe: int = 4, dim: int = 64) -> DataFrame:
+             n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+             centroids: str = "prefix") -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_centroids``
     cells by nearest centroid, then search only the query's ``n_probe``
-    closest cells. Centroids are deterministic (the vectors with the
-    ``n_centroids`` smallest vec_ids — a seeded sample at real scale, or
-    k-means centroids from ``pyspark.ml.clustering.KMeans`` when training
-    cost is warranted). Fully distributed: cell assignment is a JVM-side
-    expression over broadcast centroid literals; no driver-side collect."""
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    closest cells. ``centroids`` picks the cell centers: ``"prefix"`` (the
+    vectors with the ``n_centroids`` smallest vec_ids — deterministic, the
+    oracle-checked default; a seeded sample at real scale) or ``"kmeans"``
+    (:func:`kmeans_centroids` — pays one training job for cells that follow
+    the data distribution, higher recall on clustered corpora). Fully
+    distributed either way: cell assignment is a JVM-side expression over
+    broadcast centroids; no driver-side collect of the corpus."""
+    if centroids == "kmeans":
+        cents = kmeans_centroids(embeddings, n_centroids)
+    else:
+        cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     # Rows per vector per centroid via a broadcast join, ranked by cosine.
     scored = embeddings.join(F.broadcast(cents))
     ccos = _dot(F.col("embedding"), F.col("cv")) / (

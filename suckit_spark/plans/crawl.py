@@ -206,6 +206,7 @@ def crawl(
     bloom_state = None
 
     robots_udf = None
+    robots_rules_table: DataFrame | None = None
     live_robots_rules: dict | None = None
     if cfg.respect_robots:
         from ..operators import robots as robots_ops
@@ -214,8 +215,34 @@ def crawl(
             # incrementally, inside the loop (one robots.txt per host ever).
             live_robots_rules = {}
         else:
-            rules = robots_ops.collect_robots_rules(pages)
-            robots_udf = robots_ops.allowed_filter(spark, rules)
+            # Gate realization by scale (robots.py module doc): a driver
+            # dict + broadcast UDF while the robots host count is small; a
+            # distributed (host, prefixes) table + equi-join gate past
+            # robots_join_threshold, where the dict itself would be GBs.
+            thr = cfg.robots_join_threshold
+            n_robots_hosts = (
+                pages.filter(F.col("url").endswith("/robots.txt")).count()
+                if thr is not None else 0)
+            if thr is not None and n_robots_hosts >= thr:
+                robots_rules_table = robots_ops.robots_rules_df(
+                    pages, cfg.user_agent).localCheckpoint(eager=True)
+            else:
+                rules = robots_ops.collect_robots_rules(pages, cfg.user_agent)
+                robots_udf = robots_ops.allowed_filter(spark, rules)
+
+    # Cookie state, live mode (reference cookie_store(true)): (a) a per-run
+    # token keys each worker process's accumulating CookieJar (full attribute
+    # semantics, same-worker requests); (b) a driver-held relay store folds
+    # every response's Set-Cookie — shipped back through the superstep
+    # parquet, one pruned column read — into the NEXT superstep's request
+    # headers, so a session cookie minted on one executor reaches requests on
+    # every other. Driver state is one entry per cookie-setting host (same
+    # scale envelope as the live robots dict).
+    live_jar_key = None
+    live_cookie_store: dict = {}
+    if cfg.live_fetch:
+        import uuid
+        live_jar_key = f"crawl-{uuid.uuid4().hex}"
 
     frontier_count = frontier.count()
     while frontier_count > 0:
@@ -268,12 +295,26 @@ def crawl(
                     if got["found"] and got["status"] == 200 and got["html"]:
                         txt = bytes(got["html"]).decode(
                             "utf-8", errors="replace")
-                    live_robots_rules[r.h] = robots_ops.parse_robots(txt)
+                    live_robots_rules[r.h] = robots_ops.parse_robots(
+                        txt, cfg.user_agent)
                     grew = True
                 if grew or robots_udf is None:
                     robots_udf = robots_ops.allowed_filter(
                         spark, dict(live_robots_rules))
-            fetched = live_fetch_ops.fetch_frontier(selected, cfg)
+                # Re-gate the SELECTED rows with the refreshed rules before
+                # fetching: a URL admitted to the frontier before its host's
+                # robots.txt existed (every seed; each new host's first
+                # wave — its links were gated when the host had no rules and
+                # allow-by-default applied) must still not be FETCHED if the
+                # just-fetched rules disallow it. Dropped rows stay in the
+                # seen set: the rules that exclude them are now loaded, so
+                # re-discovery would be dropped at candidate time anyway.
+                selected = robots_ops.apply_robots(
+                    selected, robots_udf, url_col="fetch_url")
+            fetched = live_fetch_ops.fetch_frontier(
+                selected, cfg, jar_key=live_jar_key,
+                relay_cookies=live_fetch_ops.render_cookie_headers(
+                    live_cookie_store))
         else:
             pages_k = fetch_pages.withColumnRenamed("url", "page_url")
             # Small-frontier fast path: push the (few) fetch_urls into the
@@ -323,6 +364,20 @@ def crawl(
         # bodies included).
         mirror_delta = _mirror_view(result_pq)
 
+        # Harvest Set-Cookie responses into the relay store (live mode): a
+        # column-pruned read of the superstep parquet, bounded by the pages
+        # that actually set cookies this superstep.
+        if cfg.live_fetch:
+            from ..operators import live_fetch as live_fetch_ops
+            sc_rows = (
+                result_pq.filter(F.col("set_cookie").isNotNull())
+                .select(frontier_ops.host_col("fetch_url").alias("h"),
+                        "set_cookie").collect())
+            for r in sc_rows:
+                if r.h:
+                    live_fetch_ops.merge_set_cookie_lines(
+                        live_cookie_store, r.h, r.set_cookie)
+
         # C6: error policy (status-only pruned read).
         if not cfg.continue_on_error:
             err = result_pq.filter(
@@ -347,11 +402,15 @@ def crawl(
                 .alias("order_key"),
             )
         )
-        # robots.txt gate (broadcast rules): blocked candidates are dropped at
-        # discovery time — never enqueued, never marked seen.
+        # robots.txt gate (broadcast rules or rules-table join): blocked
+        # candidates are dropped at discovery time — never enqueued, never
+        # marked seen.
         if robots_udf is not None:
             from ..operators import robots as robots_ops
             cand = robots_ops.apply_robots(cand, robots_udf)
+        elif robots_rules_table is not None:
+            from ..operators import robots as robots_ops
+            cand = robots_ops.apply_robots_join(cand, robots_rules_table)
 
         # First-wins within the superstep (window, order-preserving) then
         # exact anti-join against seen, bloom-prefiltered when seen is large.
@@ -439,6 +498,19 @@ def crawl(
         seen_deltas.append(seen_delta)
         pending_seen.append(seen_delta)
         seen = _union_all(spark, seen_deltas, SEEN_SCHEMA)
+        # Seen-delta compaction: the anti-join reads this lazy union, whose
+        # plan grows one branch per superstep — at thousands of supersteps
+        # the planning/serialization cost alone would dominate. Collapse the
+        # union into ONE materialized table whenever it exceeds K deltas:
+        # O(seen) once every K steps (amortized O(seen/K)), union width
+        # capped at K, and the per-delta localCheckpoint blocks it replaces
+        # become collectable. (The parquet checkpoint layout already has this
+        # shape — step deltas + periodic manifests; this is the in-memory
+        # twin.)
+        if (cfg.seen_compact_interval is not None
+                and len(seen_deltas) > cfg.seen_compact_interval):
+            seen = seen.localCheckpoint(eager=True)
+            seen_deltas = [seen]
         # Maintain the incremental seen-set sketch once past the threshold
         # (bloom by default; cuckoo when deletions must stay possible).
         if cfg.bloom_threshold is not None and seen_count >= cfg.bloom_threshold:

@@ -67,6 +67,11 @@ PAGE_RESULT_SCHEMA = StructType([
         StructField("pos", IntegerType()),            # document-order index
         StructField("external", BooleanType()),
     ]))),
+    #: live mode only: the response's Set-Cookie header(s), newline-joined —
+    #: the driver folds them into the next superstep's requests (the
+    #: distributed realization of the reference's client-wide cookie store,
+    #: downloader.rs:73-83). Always null in corpus mode.
+    StructField("set_cookie", StringType()),
 ])
 
 CRAWL_LOG_SCHEMA = StructType([

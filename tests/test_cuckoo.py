@@ -74,3 +74,37 @@ def test_crawl_with_cuckoo_sketch_matches_oracle(spark):
     assert {r.url for r in result.seen.collect()} == oracle.seen
     assert [r.url for r in result.crawl_log.orderBy("visit_seq").collect()] \
         == oracle.visited
+
+
+def test_delete_decrements_count(spark):
+    st = CuckooState("url", capacity=20_000)
+    st.add(urls_df(spark, 0, 4000), 4000)
+    assert st.count == 4000
+    removed = st.delete(urls_df(spark, 0, 1500))
+    assert removed == 1500
+    assert st.count == 2500  # growth accounting follows real occupancy
+
+
+def test_cuckoo_growth_without_full_seen_raises(spark):
+    import pytest
+
+    st = CuckooState("url", capacity=1000)
+    st.add(urls_df(spark, 0, 900), 900)
+    with pytest.raises(ValueError, match="full_seen"):
+        st.add(urls_df(spark, 900, 3000), 2100)
+    # previously-added urls still read seen (state not corrupted by the raise)
+    present = urls_df(spark, 0, 900).withColumn(
+        "mc", st.might_contain_col(spark, F.col("url")))
+    assert present.filter(~F.col("mc")).count() == 0
+
+
+def test_bloom_growth_without_full_seen_raises(spark):
+    import pytest
+
+    st = dedup_ops.BloomState("url", capacity=1000, fpp=0.03)
+    st.add(urls_df(spark, 0, 900), 900)
+    with pytest.raises(ValueError, match="full_seen"):
+        st.add(urls_df(spark, 900, 3000), 2100)
+    present = urls_df(spark, 0, 900).withColumn(
+        "mc", st.might_contain_col(spark, F.col("url")))
+    assert present.filter(~F.col("mc")).count() == 0

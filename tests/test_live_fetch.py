@@ -223,3 +223,151 @@ def test_live_jobs_partitioning(spark, site_server):
     out = lf.fetch_frontier(frontier, cfg)
     assert out.rdd.getNumPartitions() == 1
     assert out.count() == 2
+
+
+# ------------------------------------------------- cookie jar (A3, round 3)
+
+class _CookieHandler(BaseHTTPRequestHandler):
+    """Sets a session cookie on every response; records Cookie headers."""
+    site: dict[str, bytes] = {}
+    seen: list[tuple[str, str | None]] = []
+
+    def do_GET(self):
+        type(self).seen.append((self.path, self.headers.get("Cookie")))
+        body = self.site.get(self.path, b"<html>404</html>")
+        self.send_response(200 if self.path in self.site else 404)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Set-Cookie", "sess=abc42; Path=/")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def cookie_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _CookieHandler)
+    _CookieHandler.site = _make_site("")
+    _CookieHandler.seen = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cookie_jar_accumulates_across_requests(cookie_server):
+    """Request 2 carries the cookie request 1's response set (reference
+    cookie_store(true), downloader.rs:73-83)."""
+    from suckit_spark.operators.live_fetch import _default_opener
+
+    cfg = CrawlConfig(origin=f"{cookie_server}/index.html")
+    opener = _default_opener(cfg)
+    live_fetch.fetch_one(cfg, f"{cookie_server}/index.html", opener=opener)
+    live_fetch.fetch_one(cfg, f"{cookie_server}/a.html", opener=opener)
+    assert _CookieHandler.seen[0] == ("/index.html", None)
+    assert _CookieHandler.seen[1] == ("/a.html", "sess=abc42")
+
+
+def test_static_cookie_header_wins_over_jar(cookie_server):
+    """cfg.cookie is an explicit header; the jar never overwrites it
+    (CookieJar.add_cookie_header skips requests that already carry one)."""
+    from suckit_spark.operators.live_fetch import _default_opener
+
+    cfg = CrawlConfig(origin=f"{cookie_server}/index.html", cookie="sid=42")
+    opener = _default_opener(cfg)
+    live_fetch.fetch_one(cfg, f"{cookie_server}/index.html", opener=opener)
+    live_fetch.fetch_one(cfg, f"{cookie_server}/a.html", opener=opener)
+    assert [c for _, c in _CookieHandler.seen] == ["sid=42", "sid=42"]
+
+
+def test_cookie_jar_in_fetch_stage(spark, cookie_server):
+    """Executor-side: within one fetch stage (jobs=1 -> one opener), exactly
+    the first request goes out cookie-less; every later one carries the
+    session cookie, whatever order the rows arrive in."""
+    base = cookie_server
+    frontier = spark.createDataFrame(
+        [(f"{base}/index.html",) * 2 + (0, 0, 0, [0]),
+         (f"{base}/a.html",) * 2 + (0, 0, 0, [1]),
+         (f"{base}/b.html",) * 2 + (0, 0, 0, [2])],
+        "url string, fetch_url string, depth int, ext_depth int, "
+        "superstep int, order_key array<long>")
+    cfg = CrawlConfig(origin=f"{base}/index.html", jobs=1)
+    out = live_fetch.fetch_frontier(frontier, cfg, jar_key="test-jar-1")
+    assert out.count() == 3
+    cookies = [c for _, c in _CookieHandler.seen]
+    assert cookies[0] is None
+    assert cookies[1:] == ["sess=abc42", "sess=abc42"]
+
+
+def test_cookie_jar_persists_across_crawl_supersteps(spark, cookie_server):
+    """End-to-end: the per-run jar_key keys a worker-process jar, so the
+    session cookie minted by superstep 0's response reaches the requests of
+    later supersteps (worker reuse keeps the process alive)."""
+    base = cookie_server
+    cfg = CrawlConfig(origin=f"{base}/index.html", continue_on_error=True,
+                      live_fetch=True, jobs=1)
+    from suckit_spark.schemas import PAGES_SCHEMA
+    res = crawl(spark, cfg, spark.createDataFrame([], PAGES_SCHEMA))
+    assert res.crawl_log.count() >= 3
+    res.close()
+    by_path = {p: c for p, c in _CookieHandler.seen}
+    assert by_path["/index.html"] is None        # first request: no cookie yet
+    assert by_path["/a.html"] == "sess=abc42"    # superstep 1 carries it
+    assert by_path["/b.html"] == "sess=abc42"
+
+
+# ------------------------------- robots on a host discovered mid-crawl
+
+def test_live_robots_gate_on_midcrawl_host(spark):
+    """A URL admitted to the frontier BEFORE its host's robots.txt existed
+    (the whole first wave of a newly discovered host) must still not be
+    FETCHED once the rules arrive: the refreshed gate re-filters the selected
+    rows before the fetch stage. Two loopback hosts: 127.0.0.1 (origin) and
+    127.0.0.2 (discovered mid-crawl, robots-disallowed page)."""
+    srv_a = ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
+    srv_b_handler = type("_SiteHandlerB", (_SiteHandler,), {
+        "site": {}, "seen_headers": []})
+    srv_b = ThreadingHTTPServer(("127.0.0.2", 0), srv_b_handler)
+    base_a = f"http://127.0.0.1:{srv_a.server_address[1]}"
+    base_b = f"http://127.0.0.2:{srv_b.server_address[1]}"
+    seen_b_paths: list[str] = []
+
+    class _RecordingB(srv_b_handler):
+        def do_GET(self):
+            seen_b_paths.append(self.path)
+            super().do_GET()
+    srv_b.RequestHandlerClass = _RecordingB
+
+    _SiteHandler.site = {
+        "/index.html": (
+            f'<html><body><a href="{base_b}/blocked.html">x</a>'
+            f'<a href="a.html">a</a></body></html>').encode(),
+        "/a.html": b"<html><body><p>leaf</p></body></html>",
+    }
+    _SiteHandler.seen_headers = []
+    srv_b_handler.site = {
+        "/robots.txt": b"User-agent: *\nDisallow: /blocked\n",
+        "/blocked.html": b"<html><body>should never be fetched</body></html>",
+    }
+    for srv in (srv_a, srv_b):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from suckit_spark.schemas import PAGES_SCHEMA
+        cfg = CrawlConfig(origin=f"{base_a}/index.html", ext_depth=-1,
+                          continue_on_error=True, respect_robots=True,
+                          live_fetch=True)
+        res = crawl(spark, cfg, spark.createDataFrame([], PAGES_SCHEMA))
+        visited = {r.url for r in res.crawl_log.collect()}
+        assert f"{base_a}/a.html" in visited
+        assert f"{base_b}/blocked.html" not in visited
+        # the wire-level guarantee: host B only ever served robots.txt
+        assert set(seen_b_paths) == {"/robots.txt"}
+        res.close()
+    finally:
+        for srv in (srv_a, srv_b):
+            srv.shutdown()
+            srv.server_close()

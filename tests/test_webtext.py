@@ -325,3 +325,110 @@ def test_dedup_keep_canonical(spark):
             for r in webtext.dedup_keep_canonical(docs, pairs).collect()}
     # cluster {1,3,4} -> keep 1; unpaired 0,2,5 all kept
     assert kept == {0, 1, 2, 5}
+
+
+# ---------------------------------------------------------------- round 3
+
+def _persistent_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_ngram_jaccard_leaves_no_cached_blocks(spark, docs):
+    """Round-2 finding: both ngram paths persisted intermediates and never
+    released them — repeated calls accumulated cached shingle tables for the
+    session lifetime. The shared intermediates now rely on ReusedExchange
+    instead; after the operator is fully consumed, no new persistent RDDs
+    (and no cached catalog tables) may remain."""
+    before = _persistent_rdd_ids(spark)
+    webtext.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=20).collect()
+    webtext.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    after = _persistent_rdd_ids(spark)
+    assert after - before == set(), "operator leaked cached RDD blocks"
+
+
+def test_minhash_lsh_max_bucket_caps_degenerate_buckets(spark):
+    """A bucket of df near-identical docs emits df² pairs uncapped; with
+    max_bucket the oversized (band, hash) buckets are dropped BEFORE any
+    pair exists, while selective buckets keep their pairs."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different text about spark shuffle partitions and arrow"
+    rows = [(i, boiler) for i in range(40)] + [(41, other), (42, other)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = webtext.minhash_lsh_pairs(docs, 16, 4)
+    assert uncapped.count() == 40 * 39 // 2 + 1  # the df² blow-up
+
+    capped = webtext.minhash_lsh_pairs(docs, 16, 4, max_bucket=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(41, 42)}  # boilerplate buckets dropped, selective kept
+
+    # plan shape: the capped path generates pairs inside the bounded array —
+    # no join at all, so no degenerate bucket can cross a join boundary
+    plan = capped._sc._jvm.PythonSQLUtils.explainString(
+        capped._jdf.queryExecution(), "simple")
+    assert "Join" not in plan
+
+
+def test_near_dup_clusters_warns_on_nonconvergence(spark):
+    import warnings
+
+    # path graph 0-1-2-...-7: diameter 7, so 2 rounds cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        webtext.near_dup_clusters(pairs, max_iters=2).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        labels = webtext.near_dup_clusters(pairs, max_iters=20).collect()
+    assert {r.cluster_id for r in labels} == {0}  # one component, min label
+
+
+def _ivf_mean_recall(df, centroids, queries, n_probe, dim):
+    tot = 0.0
+    for q in queries:
+        brute = {r.vec_id for r in webtext.cosine_topk(df, q, 10).collect()}
+        got = {r.vec_id for r in webtext.ivf_topk(
+            df, q, 10, n_centroids=8, n_probe=n_probe, dim=dim,
+            centroids=centroids).collect()}
+        tot += len(got & brute) / len(brute)
+    return tot / len(queries)
+
+
+def test_ivf_kmeans_centroids_recall_clustered(spark):
+    """Where the data HAS cluster structure, spherical-KMeans cells follow it
+    and IVF recall beats the prefix placeholder — especially under the
+    realistic hazard that vec_id order correlates with the data (here the
+    first 8 ids all live in ONE true cluster, so the prefix centroids carve
+    that cluster into 8 cells and lump the other 7 clusters together)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = i // 50                       # ids are cluster-ordered
+        v = centers[c] + 0.15 * rng.randn(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, f"c{c}", [float(x) for x in v]))
+    cl = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>").cache()
+    cl.count()
+    qs = list(range(0, 400, 55))          # one query per true cluster, ~even
+    r_prefix = _ivf_mean_recall(cl, "prefix", qs, n_probe=1, dim=16)
+    r_kmeans = _ivf_mean_recall(cl, "kmeans", qs, n_probe=1, dim=16)
+    cl.unpersist()
+    assert r_kmeans >= 0.9                # true cells: 1 probe ~= exact
+    assert r_kmeans > r_prefix            # id-biased prefix cells lose
+
+
+def test_ivf_kmeans_centroids_recall_real_table(spark, emb):
+    """On the synthetic embeddings table (near-uniform directions, no real
+    cluster structure) kmeans and prefix cells are statistically equivalent;
+    averaged over 10 queries kmeans must not be worse beyond one neighbor of
+    noise (measured: kmeans 0.58 vs prefix 0.57 at these settings)."""
+    qs = list(range(0, 200, 20))
+    r_prefix = _ivf_mean_recall(emb, "prefix", qs, n_probe=3, dim=64)
+    r_kmeans = _ivf_mean_recall(emb, "kmeans", qs, n_probe=3, dim=64)
+    assert r_kmeans >= r_prefix - 0.1
+    assert r_kmeans >= 0.35  # probing 3/8 cells keeps most of the answer
