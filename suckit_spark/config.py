@@ -146,6 +146,14 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     #: safety valve for runaway crawls (tests/bench); None = unbounded.
     max_supersteps: int | None = None
+    #: wall-clock budget (seconds): stop at the first superstep BOUNDARY
+    #: after the budget elapses — the BSP realization of the reference
+    #: benchmark protocol (tests/benchmark.py:21-77 runs the crawler for a
+    #: fixed RUN_TIME then SIGINTs it and counts pages). At least one
+    #: superstep always runs; completed supersteps are never discarded, so
+    #: the result is a valid resumable prefix of the full crawl. None =
+    #: unbounded.
+    max_wall_sec: float | None = None
 
     def __post_init__(self):
         object.__setattr__(self, "origin", urlkit.canonical_origin(self.origin))

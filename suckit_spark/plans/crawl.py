@@ -245,8 +245,17 @@ def crawl(
         live_jar_key = f"crawl-{uuid.uuid4().hex}"
 
     frontier_count = frontier.count()
+    crawl_t0 = time.monotonic()
+    steps_run = 0
     while frontier_count > 0:
         if cfg.max_supersteps is not None and step >= cfg.max_supersteps:
+            break
+        # Wall-clock budget (reference benchmark protocol: fixed RUN_TIME,
+        # count pages): checked at the superstep BOUNDARY, after at least
+        # one superstep, so every completed superstep remains a valid
+        # resumable prefix.
+        if (cfg.max_wall_sec is not None and steps_run > 0
+                and time.monotonic() - crawl_t0 >= cfg.max_wall_sec):
             break
         t0 = time.monotonic()
 
@@ -565,6 +574,7 @@ def crawl(
             )
             pending_seen = []
         step += 1
+        steps_run += 1
 
     if owns_pages_cache:
         # Nothing returned depends on the corpus cache (mirror is

@@ -1,0 +1,88 @@
+"""In-process loopback HTTP site — the live-fetch bench/test surface.
+
+The reference benchmarks by running the crawler against a real site for a
+fixed wall time and counting downloaded pages (reference
+/root/reference/tests/benchmark.py:21-77, RUN_TIME + page count). The
+sandbox has no external network, so this module serves that role: a
+deterministic single-host site of ``n_pages`` generated pages over a
+``ThreadingHTTPServer`` bound to 127.0.0.1 (an OS-assigned port), which the
+live-fetch crawl (``CrawlConfig(live_fetch=True)``) GETs over real sockets.
+
+Page bodies use the same deterministic stride-link construction as the
+synthetic corpus (sources/corpus.py): page ``j`` links ``fanout`` pages
+``(j*k + k + seed) % n_pages``. Everything is a pure function of
+(n_pages, fanout, seed) — no randomness, no external data.
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def site_paths(n_pages: int, fanout: int = 3, seed: int = 42,
+               body_kb: int = 0) -> dict[str, bytes]:
+    """Deterministic path -> body map for an ``n_pages`` single-host site."""
+    pages: dict[str, bytes] = {}
+    filler = ""
+    if body_kb > 0:
+        para = ("<p>Deterministic loopback filler: the quick brown fox "
+                "jumps over the lazy dog.</p>\n")
+        filler = para * max(1, (body_kb * 1024) // len(para))
+    for j in range(n_pages):
+        links = "".join(
+            f'<a href="p{(j * k + k + seed) % n_pages}.html">l{k}</a>\n'
+            for k in range(1, fanout + 1))
+        body = ("<!DOCTYPE html>\n<html><head><meta charset=\"UTF-8\">"
+                f"<title>p{j}</title></head>\n<body>\n<p>loopback page {j} "
+                f"seed {seed}.</p>\n" + filler + links + "</body></html>\n")
+        pages[f"/p{j}.html"] = body.encode("utf-8")
+    return pages
+
+
+class LoopbackSite:
+    """Context manager: serve a deterministic site on 127.0.0.1, yield the
+    base URL (``http://127.0.0.1:<port>``)."""
+
+    def __init__(self, n_pages: int, fanout: int = 3, seed: int = 42,
+                 body_kb: int = 0, robots_txt: bytes | None = None):
+        self.site = site_paths(n_pages, fanout, seed, body_kb)
+        if robots_txt is not None:
+            self.site["/robots.txt"] = robots_txt
+        self.n_pages = n_pages
+        self._srv: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self.requests_served = 0
+
+    def __enter__(self) -> str:
+        outer = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                outer.requests_served += 1
+                body = outer.site.get(self.path)
+                if body is None:
+                    self.send_response(404)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(b"<html>404</html>")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+        return f"http://127.0.0.1:{self._srv.server_address[1]}"
+
+    def __exit__(self, *exc):
+        if self._srv is not None:
+            self._srv.shutdown()
+            self._srv.server_close()
+        return False

@@ -371,3 +371,58 @@ def test_live_robots_gate_on_midcrawl_host(spark):
         for srv in (srv_a, srv_b):
             srv.shutdown()
             srv.server_close()
+
+
+# ------------------------------------- loopback bench harness (round 3, S8)
+
+def test_loopback_site_deterministic_and_served():
+    """sources/loopback.py: pure-function site generation + a live server."""
+    import urllib.request
+
+    from suckit_spark.sources import loopback
+
+    a = loopback.site_paths(50, fanout=4, seed=7)
+    b = loopback.site_paths(50, fanout=4, seed=7)
+    assert a == b and len(a) == 50
+    # every link resolves inside the site
+    for body in a.values():
+        for frag in body.decode().split('href="')[1:]:
+            target = frag.split('"')[0]
+            assert "/" + target in a
+
+    with loopback.LoopbackSite(n_pages=5, fanout=2) as base:
+        got = urllib.request.urlopen(f"{base}/p0.html", timeout=5).read()
+        assert got == loopback.site_paths(5, fanout=2)["/p0.html"]
+
+
+def test_max_wall_sec_stops_at_superstep_boundary(spark):
+    """CrawlConfig.max_wall_sec (reference benchmark.py RUN_TIME protocol):
+    a tiny budget stops the crawl after exactly one superstep; the partial
+    result is a valid prefix (origin fetched, frontier discovered but not
+    crawled)."""
+    from suckit_spark.sources.loopback import LoopbackSite
+    from suckit_spark.schemas import PAGES_SCHEMA
+
+    with LoopbackSite(n_pages=30, fanout=3) as base:
+        cfg = CrawlConfig(origin=f"{base}/p0.html", live_fetch=True,
+                          continue_on_error=True, max_wall_sec=1e-6)
+        res = crawl(spark, cfg, spark.createDataFrame([], PAGES_SCHEMA))
+        assert res.supersteps == 1          # at least (and here exactly) one
+        assert res.mirror.count() == 1      # only the origin page
+        assert res.seen.count() > 1         # discovery still happened
+        res.close()
+
+
+def test_live_bench_point_runs(spark, monkeypatch):
+    """bench.run_live_crawl end to end on a tiny site: pages downloaded
+    within the budget, against the loopback server, jobs>1."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_LIVE_PAGES", "40")
+    monkeypatch.setenv("SPARK_GRAFT_LIVE_RUN_TIME", "6")
+    monkeypatch.setenv("SPARK_GRAFT_LIVE_JOBS", "4")
+    out = bench.run_live_crawl(spark)
+    assert out["jobs"] == 4
+    assert 0 < out["pages_downloaded"] <= 40
+    assert out["supersteps"] >= 1
+    assert out["pages_per_sec"] > 0
