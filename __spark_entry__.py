@@ -333,6 +333,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda spark, sf: webtext.doc_fingerprint(
         _t(spark, sf, "documents"))
 
+    def robots_join_gate(spark, sf):
+        # The scale-path robots gate (operators/robots.py:apply_robots_join):
+        # candidates derived from documents (doc i lives at
+        # http://<source>.example/doc/<i>.html), a deterministic rules table
+        # keyed by source number m = N % 3 (m=0 disallows /doc/1*, m=1
+        # disallows /doc/2* and /doc/3*, m=2 has no rules row = allow), one
+        # left equi-join on host + JVM prefix predicate — no broadcast dict.
+        from suckit_spark.operators import robots as robots_ops
+        docs = _t(spark, sf, "documents")
+        cand = docs.select(
+            "doc_id",
+            F.format_string("http://%s.example/doc/%d.html",
+                            F.col("source"),
+                            F.col("doc_id").cast("int")).alias("url"))
+        m = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(3))
+        rules = (
+            docs.select("source").distinct()
+            .withColumn("m", m).filter(F.col("m") != 2)
+            .select(
+                F.concat(F.col("source"), F.lit(".example")).alias("host"),
+                F.when(F.col("m") == 0, F.array(F.lit("/doc/1")))
+                .otherwise(F.array(F.lit("/doc/2"), F.lit("/doc/3")))
+                .alias("prefixes")))
+        return robots_ops.apply_robots_join(cand, rules).select("doc_id", "url")
+
+    q["robots_join_gate"] = robots_join_gate
+
     return q
 
 
@@ -845,5 +872,29 @@ def oracle_sql() -> dict[str, str]:
              generate_series(0, 3) AS g(i)
         WHERE g.i <= least(3, greatest(0, nb // 64 - 1))
           AND nb = length(text)  -- ASCII guard: fail closed on multibyte text
+    """
+
+    # robots gate, rules-table join realization: host rules keyed by
+    # m = source_number % 3 (m=0 disallow /doc/1*; m=1 disallow /doc/2*,
+    # /doc/3*; m=2 no rules row -> allow-by-default).
+    o["robots_join_gate"] = """
+        WITH cand AS (
+          SELECT doc_id,
+                 'http://' || source || '.example/doc/' || CAST(doc_id AS INT)
+                   || '.html' AS url,
+                 source,
+                 '/doc/' || CAST(doc_id AS INT) || '.html' AS path
+          FROM documents
+        ), srcm AS (
+          SELECT DISTINCT source,
+                 CAST(SUBSTR(source, 4) AS INT) % 3 AS m
+          FROM documents
+        )
+        SELECT c.doc_id, c.url
+        FROM cand c JOIN srcm s USING (source)
+        WHERE s.m = 2
+           OR (s.m = 0 AND NOT starts_with(c.path, '/doc/1'))
+           OR (s.m = 1 AND NOT (starts_with(c.path, '/doc/2')
+                                 OR starts_with(c.path, '/doc/3')))
     """
     return o
