@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--pages-parquet", default=None,
                     help="read the pages corpus from parquet instead of "
                          "generating it")
+    ap.add_argument("--warc-dir", default=None,
+                    help="ingest the pages corpus from WARC archives "
+                         "(.warc/.warc.gz files) in this directory")
     ap.add_argument("--origin", default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--mirror-out", default=None,
@@ -85,7 +88,15 @@ def main() -> None:
     from suckit_spark.plans.crawl import crawl
     from suckit_spark.sources import corpus
 
-    if args.pages_parquet:
+    if args.warc_dir:
+        # Ingest WARC archives (Common Crawl layout) as the pages corpus —
+        # one task per archive file (sources/warc.py).
+        from suckit_spark.sources import warc as warc_src
+        pages = warc_src.read_warc(spark, args.warc_dir)
+        origin = args.origin
+        if origin is None:
+            raise SystemExit("--origin is required with --warc-dir")
+    elif args.pages_parquet:
         pages = spark.read.parquet(args.pages_parquet)
         origin = args.origin
         if origin is None:
@@ -147,7 +158,7 @@ def main() -> None:
     import shutil
     if result.spill_dir and not args.checkpoint_dir:
         shutil.rmtree(result.spill_dir, ignore_errors=True)
-    if not args.pages_parquet:
+    if not args.pages_parquet and not args.warc_dir:
         shutil.rmtree(os.path.dirname(bucket_dir), ignore_errors=True)
 
 

@@ -172,3 +172,38 @@ def read_warc(spark: SparkSession, paths: list[str] | str,
                 yield _record_to_row(wh, hh, body)
 
     return spark.createDataFrame(rdd.mapPartitions(parse_files), PAGES_SCHEMA)
+
+
+# ------------------------------------------------------------------- sink
+
+def write_warc_dataset(pages: DataFrame, out_dir: str,
+                       compress: bool = True) -> int:
+    """Distributed WARC export — the sink twin of :func:`read_warc`: each
+    partition streams its rows into one ``part-NNNNN.warc[.gz]`` file under
+    ``out_dir`` (the Common Crawl segment layout: archive count = partition
+    count, no driver involvement, no shuffle). Accepts any DataFrame with
+    the ``PAGES_SCHEMA`` content columns (url, warc_ts, html, content_type,
+    status); returns the number of archives written.
+
+    Round-trip contract (tests/test_warc.py): ``read_warc(write_warc_dataset
+    (df))`` preserves url/body/status/content_type per row.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    cols = pages.select("url", "warc_ts", "html", "content_type", "status")
+
+    def write_partition(idx, it):
+        recs = [{
+            "url": r.url,
+            "ts": r.warc_ts,
+            "status": r.status if r.status is not None else 200,
+            "content_type": r.content_type or "text/html",
+            "body": bytes(r.html) if r.html is not None else b"",
+        } for r in it]
+        if recs:
+            write_warc(os.path.join(out_dir, f"part-{idx:05d}{ext}"),
+                       recs, compress)
+            yield 1
+
+    return sum(cols.rdd.mapPartitionsWithIndex(write_partition).collect())

@@ -94,3 +94,21 @@ def test_crawl_over_warc_equals_direct(spark, tmp_path):
     assert bytes_a == bytes_b
     a.close()
     b.close()
+
+
+def test_warc_dataset_roundtrip(spark, tmp_path):
+    """Distributed sink -> distributed reader round-trip: one archive per
+    partition, rows preserved."""
+    from suckit_spark.sources import corpus
+
+    rows = corpus.gen_corpus_rows(n_hosts=3, pages_per_host=8, fanout=2)
+    direct = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], schema=warc.PAGES_SCHEMA
+    ).repartition(4)
+    out = str(tmp_path / "segments")
+    n_archives = warc.write_warc_dataset(direct, out)
+    assert 1 <= n_archives <= 4
+    back = warc.read_warc(spark, out)
+    a = {r.url: (bytes(r.html), r.status) for r in direct.collect()}
+    b = {r.url: (bytes(r.html), r.status) for r in back.collect()}
+    assert a == b
