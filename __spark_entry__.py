@@ -230,6 +230,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max("node").alias("max_node"))
     q["bfs_frontier_levels"] = bfs_frontier_levels
 
+    def pagerank_fixed_point(spark, sf):
+        # Link-graph centrality over the same derived graph as the BFS query
+        # (doc i -> (2i+1)%n and (3i+2)%n). Fixed-point integer PageRank
+        # (operators/graph.py): scaled-long ranks, truncating division —
+        # bit-reproducible at any parallelism, so the DuckDB twin hash-matches.
+        from suckit_spark.operators import graph
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        n = docs.count()
+        edges = docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(
+                (F.col("doc_id") * 2 + 1) % n,
+                (F.col("doc_id") * 3 + 2) % n)).alias("dst"),
+        )
+        return graph.pagerank_fixed_point(edges, iters=3)
+    q["pagerank_fixed_point"] = pagerank_fixed_point
+
     def to_path_scalar(spark, sf):
         # P7: deterministic URL->path style scalar mapping (md5 fallback rule)
         docs = _t(spark, sf, "documents")
@@ -470,6 +488,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT level, count(*) AS n_nodes, min(node) AS min_node,
                max(node) AS max_node
         FROM first_seen GROUP BY level
+    """
+
+    # PageRank, 3 iterations of the scaled-integer recurrence
+    # R' = 15e10 + sum((85*R) // (100*outdeg)) — chained CTEs, one per
+    # iteration; integer division (//) matches Spark's `div` exactly on the
+    # all-positive ranks.
+    _PR_ITER = """
+        SELECT d.doc_id AS node,
+               CAST(150000000000 +
+                    COALESCE(SUM((85 * r.rank) // (100 * g.outdeg)), 0)
+                    AS BIGINT) AS rank
+        FROM documents d
+        LEFT JOIN e ON e.dst = d.doc_id
+        LEFT JOIN {prev} r ON r.node = e.src
+        LEFT JOIN deg g ON g.src = e.src
+        GROUP BY d.doc_id
+    """
+    o["pagerank_fixed_point"] = f"""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        e AS (
+          SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM n) AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 3 + 2) % (SELECT n FROM n) FROM documents
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT doc_id AS node, CAST(1000000000000 AS BIGINT) AS rank
+               FROM documents),
+        r1 AS ({_PR_ITER.format(prev="r0")}),
+        r2 AS ({_PR_ITER.format(prev="r1")}),
+        r3 AS ({_PR_ITER.format(prev="r2")})
+        SELECT node, "rank" FROM r3
     """
 
     o["to_path_scalar"] = """
