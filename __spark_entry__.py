@@ -351,6 +351,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda spark, sf: webtext.doc_fingerprint(
         _t(spark, sf, "documents"))
 
+    # Gopher-style repetition features (dup lines, top n-gram text share)
+    q["repetition_scores"] = lambda spark, sf: webtext.repetition_scores(
+        _t(spark, sf, "documents"))
+
+    # deterministic data-mixing: hash-predicate stratified sampling by source
+    q["stratified_sample"] = lambda spark, sf: webtext.stratified_sample(
+        _t(spark, sf, "documents"),
+        rates={"src0": 0.8, "src1": 0.5}, default_rate=0.25)
+
+    # GPT-3-style n-gram decontamination vs a benchmark subset
+    # (docs with doc_id % 17 == 0 stand in for the benchmark corpus)
+    q["benchmark_overlap"] = lambda spark, sf: webtext.benchmark_overlap(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 17 == 0),
+        n=3)
+
     def robots_join_gate(spark, sf):
         # The scale-path robots gate (operators/robots.py:apply_robots_join):
         # candidates derived from documents (doc i lives at
@@ -749,6 +765,65 @@ def oracle_sql() -> dict[str, str]:
                AS min_shingle_md5,
                len(list_distinct({_shingles(3)})) AS n_distinct_shingles
         FROM base
+    """
+
+    o["repetition_scores"] = f"""
+        WITH base AS (
+          SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+        ), w AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)),
+                             x -> x <> '') AS lines,
+                 {_shingles(2)} AS g2,
+                 {_shingles(3)} AS g3
+          FROM base
+        )
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               round((len(lines) - len(list_distinct(lines)))::DOUBLE
+                     / greatest(len(lines), 1), 6) AS dup_line_frac,
+               round(COALESCE(list_max(list_transform(list_distinct(g2),
+                       x -> len(list_filter(g2, y -> y = x)))), 0)::DOUBLE
+                     / greatest(len(g2), 1), 6) AS top_2gram_frac,
+               round(COALESCE(list_max(list_transform(list_distinct(g3),
+                       x -> len(list_filter(g3, y -> y = x)))), 0)::DOUBLE
+                     / greatest(len(g3), 1), 6) AS top_3gram_frac
+        FROM w
+    """
+
+    # same md5 hash-predicate as webtext.stratified_sample (seed "strat")
+    o["stratified_sample"] = """
+        SELECT doc_id, source FROM documents
+        WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 1000000
+              < CASE source WHEN 'src0' THEN 800000
+                            WHEN 'src1' THEN 500000
+                            ELSE 250000 END
+    """
+
+    o["benchmark_overlap"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct({_shingles(3)})) AS shingle
+          FROM base
+        ), bsh AS (
+          SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+        ), agg AS (
+          SELECT s.doc_id, count(*) AS n_shingles,
+                 SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_overlap
+          FROM sh s LEFT JOIN bsh b ON s.shingle = b.shingle
+          GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+               round(COALESCE(a.n_overlap, 0)::DOUBLE
+                     / greatest(COALESCE(a.n_shingles, 0), 1), 6)
+                 AS contamination_frac
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     """
 
     # ---- previously rows-only queries: DuckDB twins via md5 banding,

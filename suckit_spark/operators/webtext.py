@@ -678,6 +678,101 @@ def token_counts(documents: DataFrame) -> DataFrame:
         "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"))
 
 
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Gopher/MassiveText-style repetition features (Rae et al. 2021 §A1.1):
+    the fraction of duplicate lines and the text fraction claimed by the most
+    frequent word 2-gram / 3-gram. High values flag boilerplate (nav bars,
+    cookie banners, SEO spam) that survives document-level dedup.
+
+    All per-document array expressions (codegen'd, no shuffle, no Python);
+    the most-frequent-gram count is an O(d·u) in-array scan (d grams, u
+    distinct) — bounded by document length, never by corpus size.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines)))
+        / F.greatest(n_lines, F.lit(1)), 6)
+
+    def top_gram_frac(n: int) -> Column:
+        g = shingles_col(tokens_col(), n)
+        top = F.array_max(F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x))))
+        return F.round(
+            F.coalesce(top, F.lit(0)) / F.greatest(F.size(g), F.lit(1)), 6)
+
+    return documents.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_gram_frac(2).alias("top_2gram_frac"),
+        top_gram_frac(3).alias("top_3gram_frac"),
+    )
+
+
+def stratified_sample(documents: DataFrame, rates: dict[str, float],
+                      default_rate: float = 1.0,
+                      seed: str = "strat") -> DataFrame:
+    """Deterministic per-source downsampling — the data-mixing step of a
+    training pipeline (keep p_source of each source's documents). Membership
+    is a pure hash predicate (md5 of seed:doc_id mod 1e6 < rate*1e6): no
+    shuffle, no RNG state, reproducible on any cluster and by the SQL oracle.
+    Resampling with a different seed draws an independent subset."""
+    bucket = _md5_bucket(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")),
+        prefix="") % 1_000_000
+    rate_col = F.lit(int(default_rate * 1_000_000))
+    for src, r in sorted(rates.items()):
+        rate_col = F.when(F.col("source") == src,
+                          F.lit(int(r * 1_000_000))).otherwise(rate_col)
+    return documents.filter(bucket < rate_col).select("doc_id", "source")
+
+
+def benchmark_overlap(documents: DataFrame, benchmark: DataFrame,
+                      n: int = 3) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction of its distinct
+    word n-grams that occur anywhere in the benchmark corpus (the GPT-3-style
+    n-gram contamination check; n=13 in the papers, parameterized here).
+    Documents above a threshold are dropped before training so eval sets
+    stay unseen.
+
+    Shape: one equi-join of the corpus's exploded distinct shingles against
+    the benchmark's distinct-shingle set, then a per-doc count — never a
+    cross product. Benchmark sets are typically tiny next to the corpus;
+    AQE broadcasts the build side automatically, so the corpus side needs
+    no extra exchange beyond the explode's."""
+    sh = _spread(documents).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(tokens_col(), n)))
+        .alias("shingle"))
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles_col(tokens_col(), n)))
+            .alias("shingle"))
+        .distinct().withColumn("hit", F.lit(1)))
+    per_doc = (
+        sh.join(bench_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap")))
+    return (
+        documents.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
+            .alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+            .alias("n_overlap"),
+            F.round(F.coalesce(F.col("n_overlap"), F.lit(0))
+                    / F.greatest(F.coalesce(F.col("n_shingles"), F.lit(0)),
+                                 F.lit(1)), 6)
+            .alias("contamination_frac"),
+        ))
+
+
 def doc_fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum shingle hash plus the
     distinct-shingle count (cheap containment prefilter for dedup)."""

@@ -432,3 +432,61 @@ def test_ivf_kmeans_centroids_recall_real_table(spark, emb):
     r_kmeans = _ivf_mean_recall(emb, "kmeans", qs, n_probe=3, dim=64)
     assert r_kmeans >= r_prefix - 0.1
     assert r_kmeans >= 0.35  # probing 3/8 cells keeps most of the answer
+
+
+# ------------------------------------------------------ curation operators
+
+def test_repetition_scores_crafted(spark):
+    rows = [
+        # 4 lines, 2 dups of "nav bar"; "a b" appears 3x of 5 bigrams
+        (0, "nav bar\nnav bar\nnav bar\ncontent here a b a b a b"),
+        (1, "unique one\nunique two"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in webtext.repetition_scores(df).collect()}
+    assert got[0].n_lines == 4 and got[0].dup_line_frac == round(2 / 4, 6)
+    assert got[1].dup_line_frac == 0.0
+    assert got[2].n_lines == 0 and got[2].dup_line_frac == 0.0
+    assert got[2].top_2gram_frac == 0.0
+    # doc 1 bigrams: "unique one", "one unique", "unique two" -> top 1/3
+    assert got[1].top_2gram_frac == round(1 / 3, 6)
+
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    rates = {"src0": 1.0, "src1": 0.0}
+    out = webtext.stratified_sample(docs, rates, default_rate=0.5)
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in out.collect())
+    assert a == b  # pure hash predicate — no RNG state
+    per_src = {r.source: r.n for r in
+               out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert per_src.get("src0") == n_src0      # rate 1.0 keeps all
+    assert "src1" not in per_src              # rate 0.0 keeps none
+    total_rest = docs.filter(~F.col("source").isin("src0", "src1")).count()
+    kept_rest = sum(n for s, n in per_src.items() if s != "src0")
+    assert 0.3 * total_rest < kept_rest < 0.7 * total_rest
+
+    # a different seed draws a different subset at the same rates
+    other = webtext.stratified_sample(docs, rates, default_rate=0.5,
+                                      seed="strat2")
+    assert sorted(r.doc_id for r in other.collect()) != a
+
+
+def test_benchmark_overlap_crafted(spark):
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),       # shingles: abg, bgd
+         (1, "alpha beta gamma"),             # exactly the benchmark doc
+         (2, "totally different words here"),
+         (3, "xy")],                          # too short: no shingles
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "alpha beta gamma")],
+                                  "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           webtext.benchmark_overlap(corpus, bench, n=3).collect()}
+    assert got[1].contamination_frac == 1.0
+    assert got[0].n_shingles == 2 and got[0].n_overlap == 1
+    assert got[0].contamination_frac == 0.5
+    assert got[2].n_overlap == 0 and got[2].contamination_frac == 0.0
+    assert got[3].n_shingles == 0 and got[3].contamination_frac == 0.0
