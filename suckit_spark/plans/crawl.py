@@ -48,6 +48,11 @@ from ..schemas import (
 from ..functions import urlkit
 from .checkpoint import CrawlCheckpoint
 
+#: live-mode robots.txt fetches for hosts a superstep introduces run on the
+#: driver up to this many (a Spark job costs more than it saves for a
+#: handful); larger waves distribute the fetches as one Arrow stage.
+_ROBOTS_DRIVER_FETCH_MAX = 4
+
 
 class CrawlAbort(RuntimeError):
     """Fetch failure without --continue-on-error (scraper.rs:275-281)."""
@@ -294,19 +299,42 @@ def crawl(
                             "fetch_url", "^(https?://[^/]+)", 1).alias("base"),
                         frontier_ops.host_col().alias("h"))
                     .distinct().collect())
-                grew = False
-                for r in bases:
-                    if not r.h or r.h in live_robots_rules:
-                        continue
-                    got = live_fetch_ops.fetch_one(
-                        cfg, f"{r.base}/robots.txt")
-                    txt = ""
-                    if got["found"] and got["status"] == 200 and got["html"]:
-                        txt = bytes(got["html"]).decode(
-                            "utf-8", errors="replace")
-                    live_robots_rules[r.h] = robots_ops.parse_robots(
+                new_hosts = [
+                    (r.base, r.h) for r in bases
+                    if r.h and r.h not in live_robots_rules]
+                grew = bool(new_hosts)
+                # A frontier wave can introduce thousands of hosts; fetching
+                # each robots.txt from the driver would serialize the
+                # superstep on network latency. Past a handful, distribute
+                # the fetches as one Arrow stage (jobs-bounded, the same
+                # parallelism envelope as the page fetch itself); the collect
+                # is one tiny row per new host — the same driver footprint as
+                # the rules dict this mode already maintains. Below the
+                # threshold a Spark job costs more than it saves.
+                if len(new_hosts) <= _ROBOTS_DRIVER_FETCH_MAX:
+                    fetched_txt = [
+                        (h, live_fetch_ops.fetch_robots_txt(cfg, base))
+                        for base, h in new_hosts]
+                else:
+                    bdf = spark.createDataFrame(
+                        new_hosts, "base string, h string").repartition(
+                        min(len(new_hosts), max(cfg.jobs, 1) * 4))
+                    cfg_ser = cfg
+
+                    def _fetch_robots(batches):
+                        from ..operators import live_fetch as lf
+                        for pdf in batches:
+                            pdf = pdf.assign(txt=[
+                                lf.fetch_robots_txt(cfg_ser, b)
+                                for b in pdf["base"]])
+                            yield pdf[["h", "txt"]]
+
+                    fetched_txt = [
+                        (r.h, r.txt) for r in bdf.mapInPandas(
+                            _fetch_robots, "h string, txt string").collect()]
+                for h, txt in fetched_txt:
+                    live_robots_rules[h] = robots_ops.parse_robots(
                         txt, cfg.user_agent)
-                    grew = True
                 if grew or robots_udf is None:
                     robots_udf = robots_ops.allowed_filter(
                         spark, dict(live_robots_rules))

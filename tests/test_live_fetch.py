@@ -426,3 +426,74 @@ def test_live_bench_point_runs(spark, monkeypatch):
     assert 0 < out["pages_downloaded"] <= 40
     assert out["supersteps"] >= 1
     assert out["pages_per_sec"] > 0
+
+
+def test_live_robots_distributed_fetch_many_hosts(spark):
+    """A superstep introducing more than _ROBOTS_DRIVER_FETCH_MAX hosts takes
+    the distributed robots path (one Arrow stage fetches every new host's
+    robots.txt in parallel instead of a serial driver loop). One server bound
+    to 0.0.0.0 serves 8 loopback aliases (127.0.0.1-8) host-aware via the
+    Host header; even-numbered hosts disallow their page."""
+    class _MultiHost(BaseHTTPRequestHandler):
+        port = None
+        requested: list[tuple[str, str]] = []
+
+        def do_GET(self):
+            host = self.headers.get("Host", "").split(":")[0]
+            type(self).requested.append((host, self.path))
+            last = int(host.rsplit(".", 1)[-1])
+            body = None
+            if host == "127.0.0.1" and self.path == "/index.html":
+                links = "".join(
+                    f'<a href="http://127.0.0.{x}:{self.port}/p.html">x</a>'
+                    for x in range(2, 9))
+                body = f"<html><body>{links}</body></html>".encode()
+            elif self.path == "/robots.txt":
+                body = (b"User-agent: *\nDisallow: /p\n" if last % 2 == 0
+                        else b"User-agent: *\nDisallow: /none\n")
+            elif self.path == "/p.html":
+                body = b"<html><body>leaf</body></html>"
+            if body is None:
+                self.send_response(404)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(b"<html>404</html>")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain" if self.path == "/robots.txt"
+                             else "text/html")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("0.0.0.0", 0), _MultiHost)
+    _MultiHost.port = srv.server_address[1]
+    _MultiHost.requested = []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from suckit_spark.plans import crawl as crawl_plan
+        from suckit_spark.schemas import PAGES_SCHEMA
+        port = _MultiHost.port
+        cfg = CrawlConfig(origin=f"http://127.0.0.1:{port}/index.html",
+                          ext_depth=-1, continue_on_error=True,
+                          respect_robots=True, live_fetch=True, jobs=4)
+        assert 7 > crawl_plan._ROBOTS_DRIVER_FETCH_MAX  # takes the Arrow path
+        res = crawl(spark, cfg, spark.createDataFrame([], PAGES_SCHEMA))
+        visited = {r.url for r in res.crawl_log.collect()}
+        for x in (3, 5, 7):
+            assert f"http://127.0.0.{x}:{port}/p.html" in visited
+        for x in (2, 4, 6, 8):
+            assert f"http://127.0.0.{x}:{port}/p.html" not in visited
+        # wire-level: every even host served ONLY robots.txt, each host's
+        # robots fetched exactly once (the rules dict deduplicates)
+        for x in (2, 4, 6, 8):
+            paths = [p for h, p in _MultiHost.requested
+                     if h == f"127.0.0.{x}"]
+            assert paths == ["/robots.txt"]
+        res.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
