@@ -367,6 +367,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents").filter(F.col("doc_id") % 17 == 0),
         n=3)
 
+    # substring-level duplication signal (w-token windows shared across docs)
+    q["repeated_spans"] = lambda spark, sf: webtext.repeated_spans(
+        _t(spark, sf, "documents"), w=5)
+
+    # per-doc top-k terms by ratio-form tf-idf (bit-deterministic ranking)
+    q["tfidf_topk_terms"] = lambda spark, sf: webtext.tfidf_topk_terms(
+        _t(spark, sf, "documents"), k=3)
+
     def robots_join_gate(spark, sf):
         # The scale-path robots gate (operators/robots.py:apply_robots_join):
         # candidates derived from documents (doc i lives at
@@ -824,6 +832,53 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(COALESCE(a.n_shingles, 0), 1), 6)
                  AS contamination_frac
         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+    o["repeated_spans"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), win AS (
+          SELECT doc_id, unnest(list_distinct({_shingles(5)})) AS span
+          FROM base
+        ), sd AS (
+          SELECT span, count(*) AS span_df FROM win GROUP BY span
+        ), per AS (
+          SELECT w.doc_id, count(*) AS n_windows,
+                 SUM(CASE WHEN s.span_df >= 2 THEN 1 ELSE 0 END)
+                   AS n_dup_windows
+          FROM win w JOIN sd s ON w.span = s.span
+          GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               round(COALESCE(p.n_dup_windows, 0)::DOUBLE
+                     / greatest(COALESCE(p.n_windows, 0), 1), 6)
+                 AS dup_span_frac
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """
+
+    o["tfidf_topk_terms"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS term FROM base
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ), dfc AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+                 tf.tf * (SELECT count(*) FROM documents)::DOUBLE / dfc.df
+                   AS score
+          FROM tf JOIN dfc USING (term)
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rk
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df, round(score, 6) AS tfidf, rk
+        FROM ranked WHERE rk <= 3
     """
 
     # ---- previously rows-only queries: DuckDB twins via md5 banding,

@@ -773,6 +773,73 @@ def benchmark_overlap(documents: DataFrame, benchmark: DataFrame,
         ))
 
 
+def repeated_spans(documents: DataFrame, w: int = 10,
+                   min_docs: int = 2) -> DataFrame:
+    """Substring-level duplication signal (the exact-substring dedup family,
+    Lee et al. 2021): per document, the fraction of its distinct w-token
+    windows that also occur in at least ``min_docs - 1`` OTHER documents.
+    Document-level near-dup misses boilerplate spans pasted into otherwise
+    unique pages; a high ``dup_span_frac`` flags exactly those.
+
+    Shape: one explode of distinct windows, one groupBy for cross-document
+    window frequency, one equi-join back, one per-doc aggregation — all
+    map-side combinable; never quadratic (frequency is counted, not paired).
+    """
+    win = _spread(documents).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(tokens_col(), w)))
+        .alias("span"))
+    span_docs = win.groupBy("span").agg(
+        F.count("*").alias("span_df"))  # distinct per doc already
+    per_doc = (
+        win.join(span_docs, "span")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"),
+             F.sum(F.when(F.col("span_df") >= min_docs, 1).otherwise(0))
+             .alias("n_dup_windows")))
+    return (
+        documents.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.round(F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                    / F.greatest(F.coalesce(F.col("n_windows"), F.lit(0)),
+                                 F.lit(1)), 6)
+            .alias("dup_span_frac"),
+        ))
+
+
+def tfidf_topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by tf-idf with ``idf = N/df`` (the log-free
+    ratio form). The score is ONE double multiply and ONE double divide over
+    exact integers — IEEE ops are correctly rounded, so the ranking is
+    bit-identical across engines and cluster sizes (a ``log`` would rank
+    identically but risks last-ulp libm differences breaking the oracle
+    hash). Ties broken by term; rank is included so downstream keeps order.
+
+    Shape: token explode -> (doc, term) count -> term df count -> equi-join
+    -> per-doc window top-k. Two shuffles plus the window exchange."""
+    from pyspark.sql import Window
+
+    n_docs = documents.count()
+    toks = _spread(documents).select(
+        "doc_id", F.explode(tokens_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfc, "term").withColumn(
+        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df",
+                F.round("score", 6).alias("tfidf"), "rk"))
+
+
 def doc_fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum shingle hash plus the
     distinct-shingle count (cheap containment prefilter for dedup)."""

@@ -490,3 +490,37 @@ def test_benchmark_overlap_crafted(spark):
     assert got[0].contamination_frac == 0.5
     assert got[2].n_overlap == 0 and got[2].contamination_frac == 0.0
     assert got[3].n_shingles == 0 and got[3].contamination_frac == 0.0
+
+
+def test_repeated_spans_crafted(spark):
+    shared = "one two three four five"
+    rows = [
+        (0, f"{shared} unique tail words here"),
+        (1, f"{shared} different ending entirely now"),
+        (2, "completely separate text with no common spans at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           webtext.repeated_spans(df, w=5).collect()}
+    # the shared 5-token window is duplicated across docs 0 and 1
+    assert got[0].n_dup_windows == 1 and got[1].n_dup_windows == 1
+    assert got[2].n_dup_windows == 0 and got[2].dup_span_frac == 0.0
+    assert got[0].dup_span_frac == round(1 / got[0].n_windows, 6)
+
+
+def test_tfidf_topk_crafted(spark):
+    rows = [
+        (0, "apple apple apple common"),
+        (1, "banana banana common common"),
+        (2, "cherry common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = webtext.tfidf_topk_terms(df, k=2).collect()
+    top = {r.doc_id: [x.term for x in sorted(out, key=lambda y: y.rk)
+                      if x.doc_id == r.doc_id] for r in out}
+    # the doc-specific term always outranks the corpus-wide one
+    assert top[0][0] == "apple" and top[1][0] == "banana"
+    assert top[2][0] == "cherry" and top[2][1] == "common"
+    by = {(r.doc_id, r.term): r for r in out}
+    assert by[(0, "apple")].tf == 3 and by[(0, "apple")].df == 1
+    assert by[(0, "apple")].tfidf == 9.0  # 3 * 3/1
