@@ -50,6 +50,8 @@ HEADLINE = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_near_pairs", "cosine_topk", "ann_bucketed_topk",
     "quality_score", "token_counts", "bfs_frontier_levels",
+    # round-3 curation/analytics additions
+    "pagerank_fixed_point", "repeated_spans", "benchmark_overlap",
 ]
 
 

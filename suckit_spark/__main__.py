@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="honor robots.txt Disallow rules")
     g.add_argument("--checkpoint-dir", default=None,
                    help="resumable superstep snapshots under this directory")
+    g.add_argument("--resume", action="store_true",
+                   help="continue an interrupted crawl from the last "
+                        "committed superstep in --checkpoint-dir")
     g.add_argument("--max-supersteps", type=int, default=None)
     g.add_argument("--max-wall-sec", type=float, default=None,
                    help="stop at the first superstep boundary past this "
@@ -175,9 +178,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         else:
             pages = spark.createDataFrame([], PAGES_SCHEMA)
 
+        if args.resume and not args.checkpoint_dir:
+            print("ERROR: --resume requires --checkpoint-dir",
+                  file=sys.stderr)
+            return 2
+
         t0 = time.monotonic()
         try:
-            result = crawl(spark, cfg, pages)
+            result = crawl(spark, cfg, pages, resume=args.resume)
         except CrawlAbort as exc:
             # reference: error! panics the process with a non-zero status
             print(f"ERROR: {exc}", file=sys.stderr)

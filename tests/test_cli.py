@@ -117,3 +117,32 @@ def test_cli_abort_without_continue_on_error_exits_nonzero(spark, site_server, t
                "--pages-parquet", pq], spark=spark)
     assert rc == 1
     assert "ERROR" in capsys.readouterr().err
+
+
+def test_cli_resume_from_checkpoint(spark, site_server, tmp_path, capsys):  # noqa: F811
+    pq = str(tmp_path / "pages")
+    spark.createDataFrame(_pages_rows(site_server), PAGES_SCHEMA).write.parquet(pq)
+    ck = str(tmp_path / "ck")
+    url = f"{site_server}/index.html"
+
+    # straight run for the expected mirror
+    full_out = tmp_path / "full"
+    assert main([url, "-o", str(full_out), "-c", "--pages-parquet", pq],
+                spark=spark) == 0
+
+    # interrupted run (one superstep), then resume to completion
+    part_out = tmp_path / "part"
+    assert main([url, "-o", str(part_out), "-c", "--pages-parquet", pq,
+                 "--checkpoint-dir", ck, "--max-supersteps", "1"],
+                spark=spark) == 0
+    resumed_out = tmp_path / "resumed"
+    assert main([url, "-o", str(resumed_out), "-c", "--pages-parquet", pq,
+                 "--checkpoint-dir", ck, "--resume"], spark=spark) == 0
+    capsys.readouterr()
+
+    assert _mirror_files(resumed_out) == _mirror_files(full_out)
+    assert set(_mirror_files(part_out)) < set(_mirror_files(full_out))
+
+    # --resume without --checkpoint-dir is a usage error
+    assert main([url, "-c", "--pages-parquet", pq, "--resume"],
+                spark=spark) == 2
