@@ -102,3 +102,25 @@ def test_candidate_explode_prunes_columns(spark, tmp_path):
     assert read_schema, plan
     assert "content" not in read_schema[0]
     assert "links" in read_schema[0]
+
+
+@pytest.mark.parametrize("build", [
+    pytest.param(lambda s: webtext.repeated_spans(docs_df(s), w=3),
+                 id="repeated_spans"),
+    pytest.param(lambda s: webtext.benchmark_overlap(
+        docs_df(s), docs_df(s, 5), n=3), id="benchmark_overlap"),
+    pytest.param(lambda s: webtext.tfidf_topk_terms(docs_df(s), k=3),
+                 id="tfidf_topk"),
+    pytest.param(lambda s: __import__(
+        "suckit_spark.operators.graph", fromlist=["graph"]
+    ).pagerank_fixed_point(
+        s.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long"),
+        iters=2), id="pagerank"),
+])
+def test_curation_operators_never_cross_join(spark, build):
+    """The round-3 curation/analytics operators are all counting equi-join
+    dataflows: a cross-product node means the span/term/edge key silently
+    fell out of a join."""
+    plan = _plan_string(build(spark), "simple")
+    for node in CROSS_NODES:
+        assert node not in plan, f"{node} in plan:\n{plan}"
