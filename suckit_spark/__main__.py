@@ -183,9 +183,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   file=sys.stderr)
             return 2
 
+        # First Ctrl-C: graceful stop at the next superstep boundary (all
+        # committed work persists — the reference's SIGINT-mid-crawl shape,
+        # tests/benchmark.py). Second Ctrl-C: default hard interrupt.
+        import signal
+        import threading
+        stop_event = threading.Event()
+        prev_handler = None
+
+        def _on_sigint(signum, frame):
+            if stop_event.is_set():
+                signal.signal(signal.SIGINT, prev_handler or signal.SIG_DFL)
+                raise KeyboardInterrupt
+            stop_event.set()
+            print("interrupt: stopping at the next superstep boundary "
+                  "(^C again to kill)", file=sys.stderr)
+
+        try:
+            prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+        except ValueError:
+            prev_handler = None  # not the main thread (e.g. under a test)
+
         t0 = time.monotonic()
         try:
-            result = crawl(spark, cfg, pages, resume=args.resume)
+            result = crawl(spark, cfg, pages, resume=args.resume,
+                           stop_event=stop_event)
         except CrawlAbort as exc:
             # reference: error! panics the process with a non-zero status
             print(f"ERROR: {exc}", file=sys.stderr)
@@ -196,11 +218,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             result.materialize_mirror(args.output or ".")
         wall = time.monotonic() - t0
 
+        if prev_handler is not None:
+            import signal as _signal
+            _signal.signal(_signal.SIGINT, prev_handler)
+
         stats = {
             "urls_visited": visited,
             "supersteps": result.supersteps,
             "wall_sec": round(wall, 3),
             "dry_run": cfg.dry_run,
+            "interrupted": stop_event.is_set(),
             "output": None if cfg.dry_run else (args.output or "."),
         }
         print(json.dumps({"crawl": stats}))

@@ -135,8 +135,16 @@ def crawl(
     cfg: CrawlConfig,
     pages: DataFrame,
     resume: bool = False,
+    stop_event=None,
 ) -> CrawlResult:
-    """Run the full crawl; returns result DataFrames (nothing collected)."""
+    """Run the full crawl; returns result DataFrames (nothing collected).
+
+    ``stop_event`` (a ``threading.Event``-like object) requests a graceful
+    stop: checked at the same superstep boundary as ``max_wall_sec``, after
+    at least one superstep, so every completed superstep remains a valid
+    resumable prefix. This is the BSP realization of interrupting the
+    reference mid-crawl (tests/benchmark.py SIGINTs the process and the
+    already-written files persist)."""
     pages = _normalize_pages(pages)
     # Column-prune the fetch side once: the page pipeline consumes the raw
     # body + fetch metadata; ``text``/``lang``/``warc_ts`` are corpus
@@ -261,6 +269,9 @@ def crawl(
         # resumable prefix.
         if (cfg.max_wall_sec is not None and steps_run > 0
                 and time.monotonic() - crawl_t0 >= cfg.max_wall_sec):
+            break
+        # Graceful interrupt (same boundary semantics as the wall budget).
+        if stop_event is not None and steps_run > 0 and stop_event.is_set():
             break
         t0 = time.monotonic()
 

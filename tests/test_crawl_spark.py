@@ -153,3 +153,27 @@ def test_extracted_text_contract(spark):
         if row["content_type"] and "text/html" in row["content_type"]:
             res = process_page(cfg, row["url"], row["html"], row["content_type"])
             assert res["page_text"] == row["text"]
+
+
+def test_stop_event_stops_at_superstep_boundary(spark):
+    """A set stop_event ends the crawl after the next completed superstep
+    (the graceful-SIGINT path the CLI wires up); the partial result is a
+    valid resumable prefix, exactly like max_wall_sec."""
+    import threading
+
+    from suckit_spark.sources.fixtures import pages_df
+
+    ev = threading.Event()
+    ev.set()
+    cfg = CrawlConfig(origin="http://0.0.0.0/", continue_on_error=True)
+    res = crawl(spark, cfg, pages_df(spark, fixtures.site_a()),
+                stop_event=ev)
+    assert res.supersteps == 1  # at least one, then the boundary check fires
+    full = crawl(spark, cfg, pages_df(spark, fixtures.site_a()))
+    assert full.supersteps > 1
+    # the interrupted crawl's log is a prefix of the full crawl's
+    part_log = [r.url for r in res.crawl_log.orderBy("visit_seq").collect()]
+    full_log = [r.url for r in full.crawl_log.orderBy("visit_seq").collect()]
+    assert part_log == full_log[:len(part_log)]
+    res.close()
+    full.close()
