@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = lambda spark, sf: webtext.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), n=3, threshold=0.2, max_df=20)
 
+    # AllPairs prefix-filtered exact Jaccard (same output as the uncapped
+    # posting self-join; the oracle is the plain uncapped SQL)
+    q["ngram_jaccard_prefix"] = lambda spark, sf: (
+        webtext.ngram_jaccard_pairs_prefix(
+            _t(spark, sf, "documents"), n=3, threshold=0.2))
+
     q["near_dup_clusters"] = lambda spark, sf: webtext.near_dup_clusters(
         webtext.ngram_jaccard_pairs(
             _t(spark, sf, "documents"), n=3, threshold=0.2, max_df=20))
@@ -589,6 +595,30 @@ def oracle_sql() -> dict[str, str]:
     # connected components over the ngram pair graph: recursive transitive
     # closure, component id = min reachable doc id (matches the Spark
     # min-label propagation fixpoint)
+    # prefix-filtered twin: the UNCAPPED pair SQL (no df cap) — prefix
+    # filtering is exact, so the oracle needs no knowledge of it
+    o["ngram_jaccard_prefix"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct({_shingles(3)})) AS shingle
+          FROM base
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    """
+
     _pairs_ctes = o["ngram_jaccard_pairs"].strip()
     assert _pairs_ctes.startswith("WITH ")
     _cluster_sql = (

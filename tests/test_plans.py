@@ -124,3 +124,11 @@ def test_curation_operators_never_cross_join(spark, build):
     plan = _plan_string(build(spark), "simple")
     for node in CROSS_NODES:
         assert node not in plan, f"{node} in plan:\n{plan}"
+
+
+def test_prefix_jaccard_never_cross_joins(spark):
+    plan = _plan_string(
+        webtext.ngram_jaccard_pairs_prefix(docs_df(spark), threshold=0.5),
+        "simple")
+    for node in CROSS_NODES:
+        assert node not in plan, f"{node} in plan:\n{plan}"

@@ -524,3 +524,27 @@ def test_tfidf_topk_crafted(spark):
     by = {(r.doc_id, r.term): r for r in out}
     assert by[(0, "apple")].tf == 3 and by[(0, "apple")].df == 1
     assert by[(0, "apple")].tfidf == 9.0  # 3 * 3/1
+
+
+def test_prefix_filtered_jaccard_equals_uncapped(spark, docs):
+    for t in (0.2, 0.5, 0.8):
+        base = {(r.doc_a, r.doc_b): r.jaccard for r in
+                webtext.ngram_jaccard_pairs(
+                    docs, n=3, threshold=t, max_df=None).collect()}
+        pref = {(r.doc_a, r.doc_b): r.jaccard for r in
+                webtext.ngram_jaccard_pairs_prefix(
+                    docs, n=3, threshold=t).collect()}
+        assert pref == base, f"threshold {t}"
+
+
+def test_prefix_filter_exact_on_boundary_sizes(spark):
+    # sizes where a float ceil(t*sz) rounds wrong: 0.2*5 -> 1.0000000000000002
+    rows = [(0, "a b c d e f g"),        # 5 shingles
+            (1, "a b c d e x y"),        # shares 3 of them
+            (2, "p q r s t u v")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r.doc_a, r.doc_b) for r in webtext.ngram_jaccard_pairs(
+        df, n=3, threshold=0.2, max_df=None).collect()}
+    pref = {(r.doc_a, r.doc_b) for r in webtext.ngram_jaccard_pairs_prefix(
+        df, n=3, threshold=0.2).collect()}
+    assert pref == base and (0, 1) in pref
