@@ -381,6 +381,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_topk_terms"] = lambda spark, sf: webtext.tfidf_topk_terms(
         _t(spark, sf, "documents"), k=3)
 
+    def crawl_to_corpus(spark, sf):
+        # End-to-end bridge (suckit_spark/pipeline.py): crawl the fixture
+        # site, then build the documents-shaped corpus from the crawl output.
+        # Deliberately rows-only (no oracle_sql entry): the BSP crawl is not
+        # SQL-expressible; the byte-identity of `text` vs the original pages
+        # is pinned by tests/test_pipeline.py against the pure-Python oracle.
+        from suckit_spark import CrawlConfig, crawl, pipeline
+        from suckit_spark.sources import fixtures
+
+        cfg = CrawlConfig(origin="http://0.0.0.0/", continue_on_error=True)
+        res = crawl(spark, cfg, fixtures.pages_df(spark, fixtures.site_a()))
+        return pipeline.corpus_from_crawl(spark, res).orderBy("doc_id")
+    q["crawl_to_corpus"] = crawl_to_corpus
+
     def robots_join_gate(spark, sf):
         # The scale-path robots gate (operators/robots.py:apply_robots_join):
         # candidates derived from documents (doc i lives at
