@@ -140,16 +140,20 @@ def _default_opener(cfg: CrawlConfig, jar_key: str | None = None):
     return opener
 
 
-def politeness_sleep(cfg: CrawlConfig, url: str) -> float:
-    """Per-request politeness delay: ``delay`` + a deterministic pseudo-random
-    extra in [0, random_range) seconds (scraper.rs:337-350 uses rand; we key
-    on the url hash so runs are reproducible). Returns the seconds slept."""
+def politeness_sleep(cfg: CrawlConfig, url: str,
+                     host_delay: float = 0.0) -> float:
+    """Per-request politeness delay: ``max(delay, host_delay)`` + a
+    deterministic pseudo-random extra in [0, random_range) seconds
+    (scraper.rs:337-350 uses rand; we key on the url hash so runs are
+    reproducible). ``host_delay`` carries the host's robots.txt
+    ``Crawl-delay`` — the stricter of the two wins. Returns the seconds
+    slept."""
     extra = 0.0
     if cfg.random_range > 0:
         import zlib
         extra = (zlib.crc32(url.encode("utf-8"))
                  % (cfg.random_range * 1000)) / 1000.0
-    total = cfg.delay + extra
+    total = max(float(cfg.delay), float(host_delay or 0.0)) + extra
     if total > 0:
         time.sleep(total)
     return total
@@ -220,7 +224,8 @@ def render_cookie_headers(store: dict) -> dict[str, str]:
 
 def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig,
                    jar_key: str | None = None,
-                   relay_cookies: dict[str, str] | None = None) -> DataFrame:
+                   relay_cookies: dict[str, str] | None = None,
+                   host_delays: dict[str, float] | None = None) -> DataFrame:
     """The live S2: map the selected frontier to fetched rows, one HTTP GET
     per row, partition-parallel, no shuffle. ``jar_key`` (crawl() passes a
     per-run token) keys the worker-process cookie jar so Set-Cookie state
@@ -237,14 +242,17 @@ def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig,
         frontier = frontier.repartition(cfg.jobs)
 
     relay = relay_cookies or {}
+    delays = host_delays or {}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         opener = _default_opener(cfg, jar_key=jar_key)
         for pdf in batches:
             out = []
             for row in pdf.to_dict("records"):
-                politeness_sleep(cfg, row["fetch_url"])
                 host = urlkit.url_host(row["fetch_url"])
+                politeness_sleep(cfg, row["fetch_url"],
+                                 host_delay=delays.get(host, 0.0) if host
+                                 else 0.0)
                 got = fetch_one(cfg, row["fetch_url"], opener=opener,
                                 extra_cookie=relay.get(host) if host else None)
                 out.append({

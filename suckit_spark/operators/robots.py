@@ -74,6 +74,55 @@ def parse_robots(content: str, user_agent: str | None = None) -> list[str]:
     return specific if specific else star
 
 
+def parse_crawl_delay(content: str,
+                      user_agent: str | None = None) -> float | None:
+    """Extract the ``Crawl-delay`` (seconds) that applies to this crawl —
+    same group-selection semantics as :func:`parse_robots` (specific-agent
+    groups win, ``*`` is the fallback; the directive is a de-facto standard,
+    not in RFC 9309, but honored by most polite crawlers). Returns ``None``
+    when no applicable group sets one or the value does not parse."""
+    groups: list[tuple[list[str], float | None]] = []
+    agents: list[str] = []
+    delay: float | None = None
+    in_agent_run = False
+    for raw_line in content.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                if agents:
+                    groups.append((agents, delay))
+                agents, delay = [], None
+                in_agent_run = True
+            agents.append(value.lower())
+        else:
+            in_agent_run = False
+            if key == "crawl-delay":
+                try:
+                    parsed = float(value)
+                    delay = parsed if parsed >= 0 else None
+                except ValueError:
+                    pass
+    if agents:
+        groups.append((agents, delay))
+
+    ua = (user_agent or "").lower()
+    specific: float | None = None
+    star: float | None = None
+    for toks, d in groups:
+        if d is None:
+            continue
+        if ua and any(t and t != "*" and t in ua for t in toks):
+            specific = max(specific or 0.0, d)
+        if "*" in toks:
+            star = max(star or 0.0, d)
+    return specific if specific is not None else star
+
+
 def collect_robots_rules(pages: DataFrame,
                          user_agent: str | None = None) -> dict[str, list[str]]:
     """One pass over the corpus for ``*/robots.txt`` rows -> host -> prefixes.

@@ -253,6 +253,7 @@ def crawl(
     # scale envelope as the live robots dict).
     live_jar_key = None
     live_cookie_store: dict = {}
+    live_robots_delays: dict = {}
     if cfg.live_fetch:
         import uuid
         live_jar_key = f"crawl-{uuid.uuid4().hex}"
@@ -346,6 +347,12 @@ def crawl(
                 for h, txt in fetched_txt:
                     live_robots_rules[h] = robots_ops.parse_robots(
                         txt, cfg.user_agent)
+                    # de-facto Crawl-delay directive: per-host politeness
+                    # floor, enforced in the fetch stage (stricter of this
+                    # and cfg.delay wins)
+                    d = robots_ops.parse_crawl_delay(txt, cfg.user_agent)
+                    if d is not None:
+                        live_robots_delays[h] = d
                 if grew or robots_udf is None:
                     robots_udf = robots_ops.allowed_filter(
                         spark, dict(live_robots_rules))
@@ -362,7 +369,8 @@ def crawl(
             fetched = live_fetch_ops.fetch_frontier(
                 selected, cfg, jar_key=live_jar_key,
                 relay_cookies=live_fetch_ops.render_cookie_headers(
-                    live_cookie_store))
+                    live_cookie_store),
+                host_delays=dict(live_robots_delays))
         else:
             pages_k = fetch_pages.withColumnRenamed("url", "page_url")
             # Small-frontier fast path: push the (few) fetch_urls into the

@@ -137,3 +137,90 @@ def test_crawl_join_path_matches_broadcast_path(spark):
         r.url for r in join_res.seen.collect()}
     dict_res.close()
     join_res.close()
+
+
+# --------------------------------------------------- Crawl-delay directive
+
+def test_parse_crawl_delay_groups():
+    from suckit_spark.operators.robots import parse_crawl_delay
+
+    txt = ("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+           "User-agent: suckit\nCrawl-delay: 0.5\n")
+    assert parse_crawl_delay(txt, "suckit/1.0") == 0.5   # specific wins
+    assert parse_crawl_delay(txt, "otherbot") == 2.0     # * fallback
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n", "ua") is None
+    # unparsable / negative values are ignored
+    assert parse_crawl_delay(
+        "User-agent: *\nCrawl-delay: soon\n", "ua") is None
+    assert parse_crawl_delay(
+        "User-agent: *\nCrawl-delay: -3\n", "ua") is None
+    # multiple applicable groups: the strictest (max) applies
+    two = ("User-agent: a\nCrawl-delay: 1\n\n"
+           "User-agent: b\nCrawl-delay: 4\n")
+    assert parse_crawl_delay(two, "a-and-b") == 4.0
+
+
+def test_politeness_sleep_honors_host_delay():
+    import time as _time
+
+    from suckit_spark.config import CrawlConfig
+    from suckit_spark.operators.live_fetch import politeness_sleep
+
+    cfg = CrawlConfig(origin="http://h/", delay=0)
+    t0 = _time.monotonic()
+    slept = politeness_sleep(cfg, "http://h/p.html", host_delay=0.2)
+    assert slept == 0.2 and _time.monotonic() - t0 >= 0.2
+    # stricter of cfg.delay and host delay wins
+    assert politeness_sleep(cfg.with_(delay=0), "u", host_delay=0.0) == 0.0
+
+
+def test_live_crawl_applies_crawl_delay(spark):
+    """robots Crawl-delay slows the live fetch: same 3-page site crawled
+    with and without a 0.6 s per-request delay differs by >= 1 s of wall
+    time (3 sequential requests with jobs=1)."""
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from suckit_spark.plans.crawl import crawl as _crawl
+    from suckit_spark.schemas import PAGES_SCHEMA
+
+    def handler(delay_line: bytes):
+        class _H(BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path == "/robots.txt":
+                    body = b"User-agent: *\n" + delay_line
+                elif self.path == "/index.html":
+                    body = (b'<html><body><a href="a.html">a</a>'
+                            b'<a href="b.html">b</a></body></html>')
+                else:
+                    body = b"<html><body>leaf</body></html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+        return _H
+
+    walls = {}
+    for name, line in (("plain", b"Disallow: /none\n"),
+                       ("delayed", b"Crawl-delay: 0.6\n")):
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), handler(line))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            cfg = CrawlConfig(origin=f"{base}/index.html", live_fetch=True,
+                              respect_robots=True, continue_on_error=True,
+                              jobs=1)
+            t0 = _time.monotonic()
+            res = _crawl(spark, cfg,
+                         spark.createDataFrame([], PAGES_SCHEMA))
+            assert res.crawl_log.count() == 3
+            walls[name] = _time.monotonic() - t0
+            res.close()
+        finally:
+            srv.shutdown()
+            srv.server_close()
+    assert walls["delayed"] - walls["plain"] >= 1.0, walls
