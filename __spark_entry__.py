@@ -121,6 +121,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["first_wins_window"] = first_wins_window
 
+    def sessionize_events(spark, sf):
+        # Gap-based sessionization (lag + conditional running sum): a new
+        # session starts after a >30-min silence per user. The gap compare
+        # is pure timestamp-interval arithmetic (microsecond-exact in both
+        # engines, no timezone interpretation of the NTZ column).
+        from pyspark.sql.window import Window
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("ts").over(w)
+        new_sess = F.when(
+            prev.isNull()
+            | (F.col("ts") > prev + F.expr("INTERVAL 1800 SECONDS")),
+            1).otherwise(0)
+        run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        return ev.select(
+            "event_id", "user_id", "ts",
+            F.sum(new_sess).over(run).cast("long").alias("session_idx"))
+    q["sessionize_events"] = sessionize_events
+
     def host_budget_topk(spark, sf):
         # C3: per-host politeness budget as a windowed top-k
         from pyspark.sql.window import Window
@@ -457,6 +477,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
+    """
+
+    o["sessionize_events"] = """
+        WITH w AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                        OR ts > lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                             + INTERVAL 1800 SECOND
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        )
+        SELECT event_id, user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_idx
+        FROM w
     """
 
     o["first_wins_window"] = """
