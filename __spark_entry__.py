@@ -8,6 +8,9 @@ driver's TPC-H-ish tables) plus the training-data pipeline operators
 md5 banding, bit_count/shift arithmetic, and literal hyperplane lists cover
 the LSH/SimHash shapes; brute-force SQL joins stand in for the bucketed pair
 generators (the oracle only has to agree on the answer, not the plan).
+Sole exception: ``crawl_to_corpus`` runs the BSP crawl + corpus bridge
+end-to-end and is deliberately rows-only — the crawl is not
+SQL-expressible; its byte-level contract is pinned by the pytest oracles.
 """
 
 from __future__ import annotations
