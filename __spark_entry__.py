@@ -349,6 +349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"), query_vec_id=0, k=10,
         n_centroids=8, n_probe=3)
 
+    # trained-centroid variant — rows-only (pyspark.ml KMeans has no SQL
+    # twin); recall >= the prefix-centroid default is pinned by pytest
+    q["ivf_topk_kmeans"] = lambda spark, sf: webtext.ivf_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10,
+        n_centroids=8, n_probe=3, centroids="kmeans")
+
     # ---- multimodal plumbing (binary payload -> typed metadata via
     #      Arrow-batched mapInPandas; decode itself is a deterministic fake —
     #      codecs aren't in this container; see operators/multimodal.py)

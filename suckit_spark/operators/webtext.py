@@ -192,7 +192,9 @@ def ngram_jaccard_pairs_prefix(documents: DataFrame, n: int = 3,
     shingles are suffix-ranked), candidate-pair dedup, two array joins.
     More stages than the posting join, but candidate volume — the term that
     explodes at 100 TB — drops from sum(df^2) over ALL shingles to
-    sum(df_prefix^2) over rare ones.
+    sum(df_prefix^2) over rare ones. Measured tradeoff (slower wall-clock at
+    bench scale, 1.5-10.4x candidate reduction growing with the threshold):
+    BENCH/PREFIX_JOIN.md.
     """
     from fractions import Fraction
 
