@@ -497,3 +497,51 @@ def test_live_robots_distributed_fetch_many_hosts(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_live_fetch_follows_redirects(spark):
+    """A 302 is followed transparently (reqwest's default in the reference,
+    downloader.rs client defaults): the crawl visits the REQUESTED url, the
+    stored bytes are the redirect target's, and the mirror path stays the
+    requested url's path."""
+    class _RedirHandler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/index.html":
+                body = b'<html><body><a href="moved.html">m</a></body></html>'
+            elif self.path == "/moved.html":
+                self.send_response(302)
+                self.send_header("Location", "/target.html")
+                self.end_headers()
+                return
+            elif self.path == "/target.html":
+                body = b"<html><body>final destination</body></html>"
+            else:
+                self.send_response(404)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(b"404")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _RedirHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        cfg = CrawlConfig(origin=f"{base}/index.html",
+                          continue_on_error=True, live_fetch=True)
+        res = crawl(spark, cfg, spark.createDataFrame([], PAGES_SCHEMA))
+        mirror = {r.path: bytes(r.content) for r in res.mirror.collect()}
+        moved = next(v for k, v in mirror.items() if k.endswith("moved.html"))
+        assert b"final destination" in moved
+        visited = {r.url for r in res.crawl_log.collect()}
+        assert f"{base}/moved.html" in visited
+        res.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
