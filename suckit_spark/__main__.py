@@ -212,15 +212,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # reference: error! panics the process with a non-zero status
             print(f"ERROR: {exc}", file=sys.stderr)
             return 1
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGINT, prev_handler)
         visited = result.crawl_log.count()
         if not cfg.dry_run:
             # disk.rs:14-16 — no --output means the current directory.
             result.materialize_mirror(args.output or ".")
         wall = time.monotonic() - t0
-
-        if prev_handler is not None:
-            import signal as _signal
-            _signal.signal(_signal.SIGINT, prev_handler)
 
         stats = {
             "urls_visited": visited,
