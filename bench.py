@@ -217,6 +217,10 @@ def main_bench():
         "crawl": crawl_stats,
         "live_crawl": live_stats,
         "urls_per_sec": crawl_stats["urls_per_sec"],
+        # co-tenancy context for the shared box: same-code trials span
+        # 666-996 urls/s depending on ambient load (BENCH/FETCH_LAYOUT.md);
+        # 1/5/15-min load averages at exit let a reader normalize.
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }))
     spark.stop()
 
