@@ -50,6 +50,11 @@ def main() -> None:
                          "(.warc/.warc.gz files) in this directory")
     ap.add_argument("--origin", default=None)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the last committed superstep in "
+                         "--checkpoint-dir")
+    ap.add_argument("--max-supersteps", type=int, default=None,
+                    help="stop after N supersteps (partial, resumable run)")
     ap.add_argument("--mirror-out", default=None,
                     help="write the mirror table to this parquet dir")
     ap.add_argument("--stats-file", default=None)
@@ -127,9 +132,12 @@ def main() -> None:
         origin=origin, ext_depth=-1, continue_on_error=True,
         bloom_threshold=1_000_000,
         checkpoint_dir=args.checkpoint_dir,
+        max_supersteps=args.max_supersteps,
     )
+    if args.resume and not args.checkpoint_dir:
+        raise SystemExit("--resume requires --checkpoint-dir")
     t0 = time.monotonic()
-    result = crawl(spark, cfg, pages)
+    result = crawl(spark, cfg, pages, resume=args.resume)
     visited = result.crawl_log.count()
     wall = time.monotonic() - t0
     if args.mirror_out:
