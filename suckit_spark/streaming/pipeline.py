@@ -92,6 +92,49 @@ def extract_stream(cfg: CrawlConfig, pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(run, schema)
 
 
+def corpus_stream(pages: DataFrame) -> DataFrame:
+    """Streaming twin of ``pipeline.corpus_from_crawl``: documents-shaped
+    rows (``doc_id, url, text, lang, source, n_chars, warc_ts``) as pages
+    land — the continuous feed into the curation operators. Same
+    charset-detect + span-scanner text contract as the batch bridge and the
+    crawl itself (byte-identical per url, BASELINE.json input_hint); one
+    stateless Arrow stage, so batch tests cover the stream's kernel too."""
+    import pandas as pd
+
+    from ..functions import htmlkit
+    from ..pipeline import _lang_guess_col
+
+    def run(batches):
+        cols = ["url", "warc_ts", "text"]
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                if r.html is None:
+                    continue
+                raw = bytes(r.html)
+                http_cs = htmlkit.header_charset(r.content_type)
+                cs = htmlkit.find_charset(raw, http_cs) or "utf-8"
+                try:
+                    decoded = htmlkit.decode_html(raw, cs)
+                except Exception:
+                    decoded = raw.decode("utf-8", errors="replace")
+                out.append({"url": r.url, "warc_ts": r.warc_ts,
+                            "text": htmlkit.extract_text(decoded)})
+            yield pd.DataFrame(out, columns=cols)
+
+    extracted = pages.mapInPandas(
+        run, "url string, warc_ts timestamp, text string")
+    return extracted.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        "text",
+        _lang_guess_col().alias("lang"),
+        F.regexp_extract("url", "^https?://([^/]+)", 1).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+        "warc_ts",
+    )
+
+
 def candidates_stream(extracted: DataFrame) -> DataFrame:
     """One row per discovered link, document order preserved in ``pos``."""
     return extracted.select(

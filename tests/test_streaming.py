@@ -113,3 +113,25 @@ def test_politeness_stream_budget_and_sequence(spark, landing, cfg):
     n_admit = sum(1 for r in got if r.admitted)
     n_defer = sum(1 for r in got if not r.admitted)
     assert n_admit + n_defer == len(got)
+
+
+def test_corpus_stream_matches_batch_extraction(spark, landing, cfg):
+    """corpus_stream emits documents-shaped rows whose text equals the
+    pure-Python extract_text of the landed page bytes (the same byte
+    contract as the batch bridge, pipeline.corpus_from_crawl)."""
+    from suckit_spark.functions import htmlkit
+
+    stream = sp.corpus_stream(
+        sp.read_page_stream(spark, landing, max_files_per_trigger=1))
+    got = {r.url: r for r in run_to_memory(spark, stream, "corpus").collect()}
+
+    want = {
+        r["url"]: htmlkit.extract_text(
+            r["html"].decode("utf-8", errors="replace"))
+        for r in fixtures.site_a() if r["html"] is not None}
+    assert set(got) == set(want)
+    for url, text in want.items():
+        assert got[url].text == text, url
+        assert got[url].n_chars == len(text)
+        assert got[url].source == url.split("//")[1].split("/")[0]
+        assert isinstance(got[url].doc_id, int)
