@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "suckit CLI).")
     # ---- reference Args, args.rs:8-162 (same names, shorts, defaults) ----
     p.add_argument("url", help="Entry point of the scraping")
+    p.add_argument("-V", "--version", action="version",
+                   version="suckit_spark 0.2.0 (reference-parity: "
+                           "Skallwar/suckit v0.2.0)")
     p.add_argument("-o", "--output", default=None, help="Output directory")
     p.add_argument("-j", "--jobs", type=int, default=1,
                    help="Maximum number of workers to use concurrently")
