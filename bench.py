@@ -357,6 +357,18 @@ def main_scaling():
     u8, u32 = results[lo]["urls_per_sec"], results[hi]["urls_per_sec"]
     eff = (t8 / t32) / 4
     os.makedirs("BENCH", exist_ok=True)
+    # The fresh run replaces only the headline sections; the repeatability
+    # history ("## Repeatability ..." onward — the multi-trial medians the
+    # criterion is read on) is carried over verbatim.
+    history = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            prev = f.read()
+        i = prev.find("## Repeatability")
+        if i >= 0:
+            history = "\n" + prev[i:]
+    except OSError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — crawl throughput & scaling evidence
 
@@ -395,6 +407,7 @@ checkpoint; `rest` = counts + commit barrier.
 Reproduce: `python bench.py --scaling` (packages suckit_spark.zip and runs
 both spark-submit jobs).
 """)
+        f.write(history)
     print(json.dumps({"eff": eff, "n_small": lo,
                       "n8": results[lo], "n32": results[hi]}))
 
