@@ -24,6 +24,16 @@ with the default ``scale=10^12`` that is far below any ranking-relevant
 difference. Dangling mass (nodes with no out-edges) is dropped, the common
 simplification.
 
+Overflow bound: total mass starts at ``n * scale`` and never grows (each
+iteration replaces it with ``n*base + damping*flowed ≤`` the previous
+total), so every rank — and every partial sum inside the non-ANSI ``SUM``,
+whose terms are all non-negative — stays below ``n * scale``. The exactness
+claim therefore requires ``n_nodes * scale < 2**63``; past it, Spark's
+long sum wraps SILENTLY. ``pagerank_fixed_point`` enforces the bound with
+one ``count`` job up front (skippable via ``check_overflow=False`` when the
+caller already knows n); at the 10^10-node design point pass
+``scale <= 10**8``.
+
 Scale shape: per iteration one equi-join of edges against the rank table
 (both hash-partitioned on the join key — co-partitioned at 1000 executors)
 and one map-side-combinable integer sum. No collect, no window, no
@@ -46,17 +56,28 @@ def pagerank_fixed_point(
     damping_den: int = 100,
     scale: int = 10**12,
     checkpoint_every: int | None = None,
+    check_overflow: bool = True,
 ) -> DataFrame:
     """PageRank over ``edges`` with exact integer arithmetic.
 
     Returns ``(node, rank)`` where ``rank`` is the scaled long described in
     the module docstring (divide by ``scale`` for the conventional value).
-    The node set is every endpoint of every edge.
+    The node set is every endpoint of every edge. ``check_overflow`` guards
+    the ``n_nodes * scale < 2**63`` mass bound (module docstring) with one
+    count job; disable it only when the caller has already sized ``scale``
+    to its graph.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
+    if check_overflow:
+        n_nodes = nodes.count()
+        if n_nodes * scale >= 2**63:
+            raise ValueError(
+                f"pagerank_fixed_point: n_nodes*scale = {n_nodes}*{scale} "
+                f">= 2**63 — long sums would wrap silently; lower `scale` "
+                f"(max exact: {2**63 // max(n_nodes, 1)})")
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (scale * (damping_den - damping_num)) // damping_den
 

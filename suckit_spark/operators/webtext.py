@@ -29,14 +29,28 @@ def tokens_col(text: str | Column = "text") -> Column:
 
 
 def shingles_col(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingles: space-joined windows of n consecutive tokens."""
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        ),
-    ).otherwise(F.array())
+    """Word n-gram shingles: space-joined windows of n consecutive tokens.
+
+    The token expression is bound ONCE per row via a single-element-array
+    ``transform`` before the per-index lambda runs. This matters: a lambda
+    body that references an unbound outer expression re-evaluates that whole
+    subtree per element (Spark HOFs do no cross-iteration subexpression
+    elimination), so the naive ``transform(sequence(...), i -> slice(tokens,
+    i, n))`` re-splits the document once per shingle index — O(d^2) per
+    document, an 87 s single-task straggler at a mere 20k tokens. Bound, the
+    slice reads a lambda variable (O(1) access) and the whole shingle build
+    is O(d*n): 100k tokens in under a second."""
+
+    def build(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(tokens), build)[0]
 
 
 def _md5_bucket(c: Column, prefix: str, hexlen: int = 8) -> Column:
@@ -643,6 +657,43 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int,
     return spark.createDataFrame(rows, "cid int, cv array<double>")
 
 
+def _centroid_scores(cent_rows: list) -> Column:
+    """Per-row array of ``struct<ccos, negcid>`` — the cosine of the row's
+    ``embedding`` against every centroid in ``cent_rows`` (a driver-side list
+    of ``(cid, cv)``), as ONE codegen'd expression: no join, no explode, no
+    shuffle. ``ccos`` is rounded to 12 digits before any comparison so the
+    assignment is stable across engines/summation orders (a last-ulp
+    difference must not flip a cell); ``negcid`` makes lexicographic
+    struct-max/sort break ties toward the SMALLEST cid."""
+    e = F.col("embedding")
+    enorm = F.sqrt(_dot(e, e))
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.array(*[F.lit(float(v)) for v in cv]).alias("cv"))
+        for cid, cv in cent_rows])
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(
+                _dot(e, c["cv"])
+                / (enorm * F.sqrt(_dot(c["cv"], c["cv"]))), 12).alias("ccos"),
+            (-c["cid"]).alias("negcid")))
+
+
+def ivf_assign_cells(embeddings: DataFrame, cent_rows: list) -> DataFrame:
+    """The IVF cell-assignment stage, isolated so its plan shape is
+    testable: per-row argmax by (ccos desc, cid asc) via a lexicographic
+    struct ``array_max`` over the :func:`_centroid_scores` literal — a pure
+    projection. The physical plan MUST contain no Join, no Window, and no
+    Exchange (``tests/test_plans.py`` pins this); cost is
+    O(N * n_centroids * dim) multiply-adds inside whole-stage codegen,
+    linear in the corpus."""
+    best = F.array_max(_centroid_scores(cent_rows))
+    return embeddings.select(
+        "vec_id", "label", "embedding", (-best["negcid"]).alias("cid"))
+
+
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
              centroids: str = "prefix") -> DataFrame:
@@ -652,31 +703,37 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     vectors with the ``n_centroids`` smallest vec_ids — deterministic, the
     oracle-checked default; a seeded sample at real scale) or ``"kmeans"``
     (:func:`kmeans_centroids` — pays one training job for cells that follow
-    the data distribution, higher recall on clustered corpora). Fully
-    distributed either way: cell assignment is a JVM-side expression over
-    broadcast centroids; no driver-side collect of the corpus."""
+    the data distribution, higher recall on clustered corpora).
+
+    Cell assignment is a per-row JVM argmax over a literal centroid array
+    (the same trick :func:`ann_lsh_buckets` uses for its hyperplanes): zero
+    shuffle, zero join, zero window — cost is exactly O(N * n_centroids * dim)
+    multiply-adds inside whole-stage codegen, linear in the corpus. (The
+    previous shape — broadcast-join every vector against every centroid then
+    window-rank per vec_id — materialized N*n_centroids rows AND shuffled
+    them; at real IVF scale, n_centroids ≈ sqrt(N), that is a scale-killer.)
+    Centroid sets beyond a few thousand should switch the assignment stage to
+    a Pandas UDF over a broadcast numpy matrix (one BLAS matmul per Arrow
+    batch) rather than growing the literal; the dataflow around it is
+    unchanged. Only the tiny centroid table is ever collected to the driver.
+    """
     if centroids == "kmeans":
         cents = kmeans_centroids(embeddings, n_centroids)
     else:
         cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    # Rows per vector per centroid via a broadcast join, ranked by cosine.
-    scored = embeddings.join(F.broadcast(cents))
-    ccos = _dot(F.col("embedding"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    # ccos is rounded before ranking so the assignment is stable across
-    # engines/summation orders (a last-ulp difference must not flip a cell).
-    ranked = scored.select(
-        "vec_id", "label", "embedding", "cid", F.round(ccos, 12).alias("ccos"),
-    ).withColumn("rk", F.row_number().over(w))
-    assigned = ranked.filter(F.col("rk") == 1).select(
-        "vec_id", "label", "embedding", "cid")
-    probe = ranked.filter(
-        (F.col("vec_id") == query_vec_id) & (F.col("rk") <= n_probe)).select(
-        F.col("cid"), F.col("embedding").alias("q"))
+    cent_rows = [(r["cid"], r["cv"]) for r in cents.collect()]
+    scores = _centroid_scores(cent_rows)
+    assigned = ivf_assign_cells(embeddings, cent_rows)
+    # The probe set is the query row's n_probe best cells: sort the same
+    # score array descending on the single query row and explode the head.
+    probe = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q"),
+                F.slice(F.sort_array(scores, asc=False), 1, n_probe)
+                .alias("top"))
+        .select("q", F.explode("top").alias("t"))
+        .select((-F.col("t.negcid")).alias("cid"), "q"))
     cand = assigned.join(F.broadcast(probe), "cid")
     cos = _dot(F.col("embedding"), F.col("q")) / (
         F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
@@ -761,8 +818,11 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     cookie banners, SEO spam) that survives document-level dedup.
 
     All per-document array expressions (codegen'd, no shuffle, no Python);
-    the most-frequent-gram count is an O(d·u) in-array scan (d grams, u
-    distinct) — bounded by document length, never by corpus size.
+    the most-frequent-gram count sorts the gram array and takes the longest
+    equal-run in one fold — O(d log d) in the document's gram count d, never
+    in the corpus size. (The previous shape re-scanned all d grams once per
+    DISTINCT gram — O(d·u) — which a single pathological 1M-token document
+    turns into a ~10^11-comparison task-level straggler.)
     """
     lines = F.filter(
         F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
@@ -774,11 +834,24 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
 
     def top_gram_frac(n: int) -> Column:
         g = shingles_col(tokens_col(), n)
-        top = F.array_max(F.transform(
-            F.array_distinct(g),
-            lambda x: F.size(F.filter(g, lambda y: y == x))))
-        return F.round(
-            F.coalesce(top, F.lit(0)) / F.greatest(F.size(g), F.lit(1)), 6)
+        # Longest run of equal adjacent elements in the sorted gram array ==
+        # the most frequent gram's count. Single left-to-right fold; the
+        # empty-gram case falls out as the init state's best=0. The init
+        # prev="" never matches a real gram (tokens are non-empty).
+        top = F.aggregate(
+            F.array_sort(g),
+            F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                     F.lit(0).alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1))).alias("best")),
+            lambda acc: acc["best"])
+        return F.round(top / F.greatest(F.size(g), F.lit(1)), 6)
 
     return documents.select(
         "doc_id",
@@ -897,16 +970,28 @@ def tfidf_topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     hash). Ties broken by term; rank is included so downstream keeps order.
 
     Shape: token explode -> (doc, term) count -> term df count -> equi-join
-    -> per-doc window top-k. Two shuffles plus the window exchange."""
+    -> per-doc window top-k. Two shuffles plus the window exchange. N (the
+    document count) is a one-row aggregate broadcast-joined into the score
+    expression — part of the same dataflow, not a separate driver
+    ``.count()`` job. The join key is ``least(<real column>, 1)`` on both
+    sides — a runtime constant (tf >= 1, n >= 1) that Catalyst cannot
+    constant-fold away (a literal key folds to TRUE, degrading the join to
+    BroadcastNestedLoopJoin and tripping the repo-wide no-cross-product
+    plan invariant), so it plans as a plain BroadcastHashJoin."""
     from pyspark.sql import Window
 
-    n_docs = documents.count()
+    n_docs = documents.agg(
+        F.count("*").cast("double").alias("n_docs_d")).withColumn(
+        "_k", F.least(F.col("n_docs_d").cast("long"), F.lit(1)))
     toks = _spread(documents).select(
         "doc_id", F.explode(tokens_col()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(dfc, "term").withColumn(
-        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df"))
+    scored = (tf.join(dfc, "term")
+              .withColumn("_k", F.least(F.col("tf"), F.lit(1)))
+              .join(F.broadcast(n_docs), "_k").drop("_k")
+              .withColumn(
+        "score", F.col("tf") * F.col("n_docs_d") / F.col("df")))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("term"))
     return (

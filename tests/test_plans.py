@@ -126,6 +126,21 @@ def test_curation_operators_never_cross_join(spark, build):
         assert node not in plan, f"{node} in plan:\n{plan}"
 
 
+def test_ivf_assignment_is_pure_projection(spark):
+    """IVF cell assignment must be a per-row argmax over the broadcast
+    centroid literal — no Join, no Window, no Exchange. The r3 shape
+    (broadcast-join N×k rows + row_number window) materialized and shuffled
+    n_centroids× the corpus; at n_centroids ≈ sqrt(N) that dominates the
+    whole query. A Join/Window/Exchange node reappearing here means the
+    assignment regressed to that shape."""
+    emb = emb_df(spark, n=20, dim=8)
+    cent_rows = [(r["vec_id"], [float(v) for v in r["embedding"]])
+                 for r in emb.limit(4).collect()]
+    plan = _plan_string(webtext.ivf_assign_cells(emb, cent_rows), "simple")
+    for node in ("Join", "Window", "Exchange"):
+        assert node not in plan, f"{node} in plan:\n{plan}"
+
+
 def test_prefix_jaccard_never_cross_joins(spark):
     plan = _plan_string(
         webtext.ngram_jaccard_pairs_prefix(docs_df(spark), threshold=0.5),

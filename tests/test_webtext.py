@@ -453,6 +453,27 @@ def test_repetition_scores_crafted(spark):
     assert got[1].top_2gram_frac == round(1 / 3, 6)
 
 
+def test_repetition_scores_long_doc_bounded(spark):
+    """A single pathological long document must not become a task-level
+    straggler. Two quadratics were removed: the top-gram count is now
+    O(d log d) (sort + one fold) instead of O(d·u) re-scans, and
+    shingles_col binds the token array once per row instead of re-splitting
+    the document per shingle index (O(d^2) — 87 s for a mere 20k tokens).
+    The wall-clock bound pins both: 100k tokens must finish in seconds."""
+    import time
+
+    # 100k tokens, ~50k distinct bigrams, one dominant gram ("x x" run).
+    words = " ".join(f"w{i % 50_000}" for i in range(90_000))
+    text = words + " " + " ".join(["x"] * 10_000)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    t0 = time.monotonic()
+    row = webtext.repetition_scores(df).collect()[0]
+    wall = time.monotonic() - t0
+    assert wall < 60, f"long-doc repetition took {wall:.1f}s — quadratic?"
+    # the "x x" bigram appears 9_999 times out of 99_999 bigrams
+    assert row.top_2gram_frac == round(9_999 / 99_999, 6)
+
+
 def test_stratified_sample_rates_and_determinism(spark, docs):
     rates = {"src0": 1.0, "src1": 0.0}
     out = webtext.stratified_sample(docs, rates, default_rate=0.5)
