@@ -22,6 +22,7 @@ external network is ever touched in the sandbox.
 from __future__ import annotations
 
 import base64
+import http.client
 import ssl
 import time
 import urllib.error
@@ -95,27 +96,148 @@ def make_ssl_context(cfg: CrawlConfig) -> ssl.SSLContext:
 #: superstep's fetch stage to the next within each worker — the distributed
 #: analogue of the reference's single client-wide cookie store
 #: (downloader.rs:73-83): ``jobs=N`` behaves like N independent clients,
-#: each with its own accumulating jar.
+#: each with its own accumulating jar. Insertion-ordered and capped at
+#: ``_PROCESS_JARS_MAX`` distinct crawl tokens: the worker outlives the
+#: crawl and nothing ever signals "this crawl ended" to every executor, so
+#: without the cap a long-lived session running many live crawls (bench
+#: loops; speed_regression runs 9 per invocation) accumulates one jar per
+#: crawl forever. LRU is exact here — a superstep only ever touches its own
+#: crawl's key, so evicting the oldest key can only hit a finished crawl
+#: (or, pathologically, one of >4 crawls interleaving fetch stages inside
+#: one worker, which merely costs that crawl its accumulated cookies, never
+#: correctness of the relay path).
+_PROCESS_JARS_MAX = 4
 _PROCESS_JARS: dict = {}
 
 
+def _process_jar(jar_key: str):
+    """Fetch-or-create the worker-process jar for this crawl token, keeping
+    the cache LRU-bounded (see ``_PROCESS_JARS``)."""
+    import http.cookiejar
+
+    jar = _PROCESS_JARS.pop(jar_key, None)
+    if jar is None:
+        jar = http.cookiejar.CookieJar()
+    _PROCESS_JARS[jar_key] = jar   # (re-)insert at MRU position
+    while len(_PROCESS_JARS) > _PROCESS_JARS_MAX:
+        _PROCESS_JARS.pop(next(iter(_PROCESS_JARS)))
+    return jar
+
+
+class _ConnectionPool:
+    """Per-host keep-alive connections for one opener (reference parity:
+    reqwest's blocking ``Client`` pools connections by default,
+    downloader.rs:73-87). ``urllib``'s stock handlers force
+    ``Connection: close`` on every request — a fresh TCP (and TLS) handshake
+    per page, which at the reference's core use case (one host × thousands
+    of pages) is a per-request tax the reference does not pay. This pool
+    replaces only the transport step of ``do_open``; cookie processing and
+    redirect following stay with the unmodified urllib opener chain.
+
+    One pool per fetch partition (never process-global): the pool dies with
+    the task, so sockets cannot leak across crawls, and ``jobs=N`` keeps
+    exactly N live connections per host — the reference's worker-pool bound.
+    A pooled socket the server quietly closed between supersteps surfaces as
+    an error on the next request; the pool retries ONCE on a fresh
+    connection (only when the stale socket was reused, never compounding
+    ``cfg.tries``)."""
+
+    def __init__(self) -> None:
+        self._conns: dict[tuple[str, str], http.client.HTTPConnection] = {}
+
+    def _evict(self, key) -> None:
+        conn = self._conns.pop(key, None)
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:
+                pass
+
+    def open(self, factory, req: urllib.request.Request):
+        key = (req.type, req.host)
+        timeout = getattr(req, "timeout", 30)
+        headers = dict(req.unredirected_hdrs)
+        headers.update({k: v for k, v in req.headers.items()
+                        if k not in headers})
+        # stdlib do_open title-cases names before the wire (Request stores
+        # them capitalize()d: "User-agent"); match it exactly minus its
+        # forced "Connection: close" — keep-alive is the whole point.
+        headers = {k.title(): v for k, v in headers.items()}
+        for attempt in (0, 1):
+            conn = self._conns.get(key)
+            fresh = conn is None
+            if fresh:
+                conn = factory(req.host, timeout)
+                self._conns[key] = conn
+            try:
+                conn.request(req.get_method(), req.selector or "/",
+                             req.data, headers)
+                r = conn.getresponse()
+            except Exception as err:
+                self._evict(key)
+                if fresh or attempt:
+                    if isinstance(err, OSError):
+                        raise urllib.error.URLError(err)
+                    raise
+                continue   # stale pooled socket: one retry on a fresh one
+            if r.will_close:
+                self._evict(key)
+            # What stdlib do_open sets so the opener chain (cookie
+            # extraction, redirect handling, error processor) can treat the
+            # raw HTTPResponse as a urllib response object.
+            r.url = req.get_full_url()
+            r.msg = r.reason
+            return r
+
+    def close(self) -> None:
+        for key in list(self._conns):
+            self._evict(key)
+
+
+class _PooledHTTPHandler(urllib.request.HTTPHandler):
+    def __init__(self, pool: _ConnectionPool):
+        super().__init__()
+        self._pool = pool
+
+    def http_open(self, req):
+        return self._pool.open(
+            lambda host, timeout: http.client.HTTPConnection(
+                host, timeout=timeout), req)
+
+
+class _PooledHTTPSHandler(urllib.request.HTTPSHandler):
+    def __init__(self, pool: _ConnectionPool, context: ssl.SSLContext):
+        super().__init__(context=context)
+        self._pool = pool
+        self._context = context
+
+    def https_open(self, req):
+        return self._pool.open(
+            lambda host, timeout: http.client.HTTPSConnection(
+                host, timeout=timeout, context=self._context), req)
+
+
 def _default_opener(cfg: CrawlConfig, jar_key: str | None = None):
-    """One opener per fetch partition: TLS context plus an ACCUMULATING
-    cookie jar (reference ``cookie_store(true)``, downloader.rs:73-83), so a
-    ``Set-Cookie`` issued by one response rides along on every later request
-    this opener (and, via ``jar_key``, this worker process) makes — a
-    login-walled site that hands out a session cookie mid-crawl keeps
-    working. The static ``--cookie`` header still wins on conflict:
-    ``CookieJar.add_cookie_header`` only fills in a Cookie header when the
-    request doesn't already carry one (and :func:`build_request` sets it
-    explicitly when ``cfg.cookie`` is given)."""
+    """One opener per fetch partition: TLS context, per-host KEEP-ALIVE
+    connections (:class:`_ConnectionPool` — reference parity with reqwest's
+    pooled blocking client), plus an ACCUMULATING cookie jar (reference
+    ``cookie_store(true)``, downloader.rs:73-83), so a ``Set-Cookie`` issued
+    by one response rides along on every later request this opener (and, via
+    ``jar_key``, this worker process) makes — a login-walled site that hands
+    out a session cookie mid-crawl keeps working. The static ``--cookie``
+    header still wins on conflict: ``CookieJar.add_cookie_header`` only
+    fills in a Cookie header when the request doesn't already carry one (and
+    :func:`build_request` sets it explicitly when ``cfg.cookie`` is
+    given)."""
     import http.cookiejar
 
     ctx = make_ssl_context(cfg)
     jar = (http.cookiejar.CookieJar() if jar_key is None
-           else _PROCESS_JARS.setdefault(jar_key, http.cookiejar.CookieJar()))
+           else _process_jar(jar_key))
+    pool = _ConnectionPool()
     url_opener = urllib.request.build_opener(
-        urllib.request.HTTPSHandler(context=ctx),
+        _PooledHTTPHandler(pool),
+        _PooledHTTPSHandler(pool, context=ctx),
         urllib.request.HTTPCookieProcessor(jar))
 
     def _headers(msg) -> dict:
@@ -137,6 +259,7 @@ def _default_opener(cfg: CrawlConfig, jar_key: str | None = None):
             # the reference processes e.g. the 401 body like any page.
             return e.code, _headers(e.headers), e.read()
 
+    opener.pool = pool   # introspectable for tests / explicit close
     return opener
 
 
@@ -201,38 +324,94 @@ def fetch_robots_txt(cfg: CrawlConfig, base: str) -> str:
     return ""
 
 
+def _cookie_is_deletion(attrs: list[str]) -> bool:
+    """True when the Set-Cookie attribute list says "remove this cookie":
+    ``Max-Age`` <= 0 or an ``Expires`` date already in the past — the two
+    standard eviction idioms (RFC 6265 §4.1.2 / §5.3)."""
+    import email.utils
+    from datetime import datetime, timezone
+
+    for a in attrs:
+        k, _, v = a.strip().partition("=")
+        k = k.strip().lower()
+        v = v.strip()
+        if k == "max-age":
+            try:
+                return int(v) <= 0
+            except ValueError:
+                continue
+        if k == "expires":
+            try:
+                when = email.utils.parsedate_to_datetime(v)
+            except (TypeError, ValueError):
+                continue
+            if when.tzinfo is None:
+                when = when.replace(tzinfo=timezone.utc)
+            return when <= datetime.now(timezone.utc)
+    return False
+
+
 def merge_set_cookie_lines(store: dict, host: str, lines: str) -> None:
     """Fold newline-joined ``Set-Cookie`` header lines into a driver-held
-    ``host -> {name: value}`` store. Name=value only — attribute semantics
-    (Path, Expires, Secure) stay with the per-worker CookieJar; the relay
-    covers the common case, a session cookie that must reach every later
-    request regardless of which executor fetched the page that minted it."""
+    ``host -> {name: (value, secure)}`` store. The relay tracks exactly the
+    attributes whose loss would be unsafe or wrong: ``Secure`` (a cookie
+    minted over https must never be replayed on plain-http requests —
+    :func:`render_cookie_headers` renders it into the https header only) and
+    deletion (``Max-Age=0`` / past ``Expires`` evicts the entry instead of
+    storing a dead value). Domain/Path scoping is deliberately simplified to
+    whole-host — see the call site in plans/crawl.py; full RFC semantics
+    stay with the per-worker CookieJar, the relay exists for the common
+    case: a session cookie that must reach every later request regardless
+    of which executor fetched the page that minted it."""
     jar = store.setdefault(host, {})
     for line in lines.split("\n"):
-        kv = line.split(";", 1)[0].strip()
-        if "=" in kv:
-            name, _, value = kv.partition("=")
-            if name.strip():
-                jar[name.strip()] = value.strip()
+        parts = line.split(";")
+        kv = parts[0].strip()
+        if "=" not in kv:
+            continue
+        name, _, value = kv.partition("=")
+        name = name.strip()
+        if not name:
+            continue
+        if _cookie_is_deletion(parts[1:]):
+            jar.pop(name, None)
+            continue
+        secure = any(a.strip().lower() == "secure" for a in parts[1:])
+        jar[name] = (value.strip(), secure)
 
 
-def render_cookie_headers(store: dict) -> dict[str, str]:
-    """``host -> "k=v; k2=v2"`` snapshot for :func:`fetch_frontier`."""
-    return {h: "; ".join(f"{k}={v}" for k, v in d.items())
-            for h, d in store.items() if d}
+def render_cookie_headers(store: dict) -> dict[str, dict[str, str]]:
+    """``host -> {scheme: "k=v; k2=v2"}`` snapshot for
+    :func:`fetch_frontier`: the ``http`` header omits Secure cookies, the
+    ``https`` header carries everything. A host whose cookies are all
+    Secure gets no ``http`` entry at all."""
+    out: dict[str, dict[str, str]] = {}
+    for h, d in store.items():
+        if not d:
+            continue
+        https = "; ".join(f"{k}={v}" for k, (v, _s) in d.items())
+        http_only = "; ".join(
+            f"{k}={v}" for k, (v, s) in d.items() if not s)
+        rendered = {"https": https}
+        if http_only:
+            rendered["http"] = http_only
+        out[h] = rendered
+    return out
 
 
 def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig,
                    jar_key: str | None = None,
-                   relay_cookies: dict[str, str] | None = None,
+                   relay_cookies: dict[str, dict[str, str]] | None = None,
                    host_delays: dict[str, float] | None = None) -> DataFrame:
     """The live S2: map the selected frontier to fetched rows, one HTTP GET
     per row, partition-parallel, no shuffle. ``jar_key`` (crawl() passes a
     per-run token) keys the worker-process cookie jar so Set-Cookie state
     accumulates across this crawl's supersteps (see ``_PROCESS_JARS``);
-    ``relay_cookies`` (host -> rendered Cookie header) is the driver-relayed
-    session-cookie state from PREVIOUS supersteps — worker-agnostic, so a
-    cookie minted on one executor reaches requests on every other."""
+    ``relay_cookies`` (host -> scheme -> rendered Cookie header, from
+    :func:`render_cookie_headers`) is the driver-relayed session-cookie
+    state from PREVIOUS supersteps — worker-agnostic, so a cookie minted on
+    one executor reaches requests on every other; the per-scheme split keeps
+    Secure cookies off plain-http requests."""
 
     # C1 (reference worker pool, args.rs:22-29): ``jobs`` bounds the number
     # of simultaneous connections — realized as the fetch stage's partition
@@ -253,8 +432,11 @@ def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig,
                 politeness_sleep(cfg, row["fetch_url"],
                                  host_delay=delays.get(host, 0.0) if host
                                  else 0.0)
+                scheme = ("https" if row["fetch_url"].startswith("https:")
+                          else "http")
                 got = fetch_one(cfg, row["fetch_url"], opener=opener,
-                                extra_cookie=relay.get(host) if host else None)
+                                extra_cookie=(relay.get(host, {}).get(scheme)
+                                              if host else None))
                 out.append({
                     "url": row["url"], "fetch_url": row["fetch_url"],
                     "depth": row["depth"], "ext_depth": row["ext_depth"],

@@ -422,7 +422,13 @@ def crawl(
 
         # Harvest Set-Cookie responses into the relay store (live mode): a
         # column-pruned read of the superstep parquet, bounded by the pages
-        # that actually set cookies this superstep.
+        # that actually set cookies this superstep. The relay scopes cookies
+        # to the WHOLE fetch host (Domain/Path attributes are intentionally
+        # not honored — a /app-scoped cookie is also sent to /other on the
+        # same host, and a Domain=.example.com cookie does NOT fan out to
+        # sibling subdomains); Secure and deletion ARE honored (see
+        # merge_set_cookie_lines). Full RFC scoping lives in the per-worker
+        # CookieJar that handles same-executor requests.
         if cfg.live_fetch:
             from ..operators import live_fetch as live_fetch_ops
             sc_rows = (

@@ -53,22 +53,40 @@ class LoopbackSite:
         self._srv: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.requests_served = 0
+        #: Distinct TCP connections accepted — with keep-alive clients this
+        #: stays far below ``requests_served``; tests assert connection
+        #: reuse through it.
+        self.connections_opened = 0
 
     def __enter__(self) -> str:
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 + Content-Length == persistent connections, like any
+            # real web server; the reference's pooled reqwest client (and our
+            # pooled opener) reuses one TCP connection for a whole host.
+            protocol_version = "HTTP/1.1"
+            # Keep-alive + BaseHTTPRequestHandler's unbuffered small writes
+            # (status line, each header, body are separate send()s) triggers
+            # the Nagle/delayed-ACK interaction: ~40 ms stall PER REQUEST
+            # once the connection is reused. Real servers set TCP_NODELAY;
+            # so do we, or the bench measures kernel timers, not the engine.
+            disable_nagle_algorithm = True
+
+            def setup(self):
+                outer.connections_opened += 1
+                super().setup()
+
             def do_GET(self):
                 outer.requests_served += 1
                 body = outer.site.get(self.path)
                 if body is None:
+                    body = b"<html>404</html>"
                     self.send_response(404)
-                    self.send_header("Content-Type", "text/html")
-                    self.end_headers()
-                    self.wfile.write(b"<html>404</html>")
-                    return
-                self.send_response(200)
+                else:
+                    self.send_response(200)
                 self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 

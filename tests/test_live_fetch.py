@@ -320,6 +320,117 @@ def test_cookie_jar_persists_across_crawl_supersteps(spark, cookie_server):
     assert by_path["/b.html"] == "sess=abc42"
 
 
+# -------------------------- connection reuse (round 4, reference parity:
+# reqwest's blocking Client pools keep-alive connections, downloader.rs:73-87)
+
+def test_connection_reuse_single_host():
+    """N sequential requests to one keep-alive host ride ONE TCP connection
+    (server-side accept count) — urllib's stock handlers forced
+    Connection: close and paid a handshake per page."""
+    from suckit_spark.operators.live_fetch import _default_opener
+    from suckit_spark.sources.loopback import LoopbackSite
+
+    site = LoopbackSite(n_pages=8, fanout=2)
+    with site as base:
+        cfg = CrawlConfig(origin=f"{base}/p0.html")
+        opener = _default_opener(cfg)
+        for j in range(8):
+            got = live_fetch.fetch_one(cfg, f"{base}/p{j}.html", opener=opener)
+            assert got["found"] and got["status"] == 200
+    assert site.requests_served == 8
+    assert site.connections_opened == 1
+
+
+def test_connection_pool_respects_server_close():
+    """A server that answers Connection: close (the HTTP/1.0 test handlers
+    here) gets a fresh connection per request — the pool evicts on
+    will_close instead of writing into a dead socket."""
+    from suckit_spark.operators.live_fetch import _default_opener
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
+    _SiteHandler.site = _make_site("")
+    _SiteHandler.seen_headers = []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = CrawlConfig(origin=f"{base}/index.html")
+        opener = _default_opener(cfg)
+        for path in ("/index.html", "/a.html", "/b.html"):
+            got = live_fetch.fetch_one(cfg, f"{base}{path}", opener=opener)
+            assert got["found"] and got["status"] == 200
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_connection_pool_recovers_stale_socket():
+    """A pooled socket the server closed between requests (keep-alive
+    timeout, restart) must surface as one transparent retry on a fresh
+    connection, not a failed fetch."""
+    from suckit_spark.operators.live_fetch import _default_opener
+    from suckit_spark.sources.loopback import LoopbackSite
+
+    site = LoopbackSite(n_pages=4, fanout=1)
+    with site as base:
+        cfg = CrawlConfig(origin=f"{base}/p0.html")
+        opener = _default_opener(cfg)
+        assert live_fetch.fetch_one(cfg, f"{base}/p0.html",
+                                    opener=opener)["found"]
+        # Deterministic staleness: close the cached client-side socket
+        # behind the pool's back (same symptom as a server keep-alive
+        # timeout — the next write/read on it fails).
+        pool = opener.pool
+        assert pool._conns
+        for c in pool._conns.values():
+            if c.sock is not None:
+                c.sock.close()
+        got = live_fetch.fetch_one(cfg, f"{base}/p1.html", opener=opener)
+        assert got["found"] and got["status"] == 200
+
+
+# ------------------------ relay cookie semantics (round 4, ADVICE items)
+
+def test_relay_secure_cookie_never_rendered_for_http():
+    store: dict = {}
+    live_fetch.merge_set_cookie_lines(
+        store, "h", "sid=s3cret; Secure; Path=/\nplain=1; Path=/")
+    rendered = live_fetch.render_cookie_headers(store)
+    assert rendered["h"]["https"] == "sid=s3cret; plain=1"
+    assert rendered["h"]["http"] == "plain=1"
+    store2: dict = {}
+    live_fetch.merge_set_cookie_lines(store2, "h", "only=sec; Secure")
+    assert "http" not in live_fetch.render_cookie_headers(store2)["h"]
+
+
+def test_relay_deletion_evicts():
+    store: dict = {}
+    live_fetch.merge_set_cookie_lines(store, "h", "sid=abc; Path=/")
+    live_fetch.merge_set_cookie_lines(store, "h", "sid=gone; Max-Age=0")
+    assert store["h"] == {}
+    live_fetch.merge_set_cookie_lines(store, "h", "sid=back; Max-Age=60")
+    live_fetch.merge_set_cookie_lines(
+        store, "h", "sid=dead; Expires=Wed, 01 Jan 2020 00:00:00 GMT")
+    assert store["h"] == {}
+    assert live_fetch.render_cookie_headers(store) == {}
+
+
+def test_process_jar_cache_is_bounded():
+    """One jar per crawl token, LRU-capped: a session running many live
+    crawls (bench loops, speed_regression) must not accumulate jars
+    forever in reused python workers."""
+    from suckit_spark.operators import live_fetch as lf
+
+    lf._PROCESS_JARS.clear()
+    jars = [lf._process_jar(f"crawl-{i}") for i in range(10)]
+    assert len(lf._PROCESS_JARS) == lf._PROCESS_JARS_MAX
+    # most-recent keys survive; re-access refreshes recency
+    assert "crawl-9" in lf._PROCESS_JARS and "crawl-0" not in lf._PROCESS_JARS
+    assert lf._process_jar("crawl-6") is jars[6]
+    lf._process_jar("crawl-new")
+    assert "crawl-6" in lf._PROCESS_JARS    # refreshed, not evicted
+    lf._PROCESS_JARS.clear()
+
+
 # ------------------------------- robots on a host discovered mid-crawl
 
 def test_live_robots_gate_on_midcrawl_host(spark):
