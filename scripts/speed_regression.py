@@ -2,13 +2,15 @@
 """Speed-regression gate — the reference's own perf protocol, on the engine.
 
 The reference ships ``tests/speed_regression.py``: crawl a local webserver at
-1/2/4 threads, ``TEST_RETRIES`` times each, average, compare against the BEST
-row ever recorded in ``speed.csv``, print the per-configuration slowdown, and
-append the new row. This is the same harness for the Spark engine: a live
-crawl of the in-process loopback site (sources/loopback.py — real sockets, no
-external network) at ``jobs`` = 1/2/4 fetch partitions, averaged over
-retries, appended to ``BENCH/speed.csv``, with the regression verdict against
-the best prior row.
+1/2/4 threads, ``TEST_RETRIES`` times each, average, compare against the LAST
+row recorded in ``speed.csv`` (``readlines()[-1]``, reference
+tests/speed_regression.py:60 — NOT the best-ever line; a best-ever gate on a
+noisy shared box eventually fails permanently once one lucky fast row
+lands), print the per-configuration slowdown, and append the new row. This
+is the same harness for the Spark engine: a live crawl of the in-process
+loopback site (sources/loopback.py — real sockets, no external network) at
+``jobs`` = 1/2/4 fetch partitions, averaged over retries, appended to
+``BENCH/speed.csv``, with the regression verdict against the previous row.
 
 Usage::
 
@@ -16,7 +18,7 @@ Usage::
                                        [--filename BENCH/speed.csv]
 
 Exit code 1 when any configuration regresses more than ``--tolerance``
-(default 10%) against its best prior average — usable as a CI gate.
+(default 10%) against the previous recorded row — usable as a CI gate.
 """
 
 from __future__ import annotations
@@ -35,9 +37,10 @@ TEST_NAMES = ["Single worker", "Two workers", "Four workers"]
 
 
 def load_best_result(filename: str) -> list[float]:
-    """Column-wise best (minimum seconds) over every prior row — the
-    reference compares against the best line, not the last (tests/
-    speed_regression.py:55-76)."""
+    """The LAST prior row — the reference's exact protocol
+    (tests/speed_regression.py:60 reads ``readlines()[-1]``): each run gates
+    against its predecessor, so one unusually fast run on a quiet box raises
+    the bar for exactly one successor instead of forever."""
     try:
         with open(filename) as f:
             rows = [[float(x) for x in row] for row in csv.reader(f) if row]
@@ -45,7 +48,7 @@ def load_best_result(filename: str) -> list[float]:
         rows = []
     if not rows:
         return [float("inf")] * len(JOB_LEVELS)
-    return [min(r[i] for r in rows) for i in range(len(JOB_LEVELS))]
+    return rows[-1][:len(JOB_LEVELS)]
 
 
 def write_new_result(filename: str, result: list[float]) -> None:
@@ -87,7 +90,7 @@ def main() -> int:
     ap.add_argument("--retries", type=int, default=3)
     ap.add_argument("--pages", type=int, default=800)
     ap.add_argument("--tolerance", type=float, default=10.0,
-                    help="max allowed %% slowdown vs best prior row")
+                    help="max allowed %% slowdown vs previous row")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -109,7 +112,7 @@ def main() -> int:
             continue
         speed_up = cur * 100.0 / prev - 100.0
         verdict = "slower" if speed_up > 0 else "faster"
-        print(f"{name}: {cur:.3f}s vs best {prev:.3f}s "
+        print(f"{name}: {cur:.3f}s vs last {prev:.3f}s "
               f"({abs(speed_up):.1f}% {verdict})")
         if speed_up > args.tolerance:
             failed = True

@@ -87,40 +87,140 @@ def _split_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def iter_warc_records(raw: bytes):
-    """Yield (warc_headers, http_headers, body) per ``response`` record.
-    Accepts plain or multi-member-gzip archives; members are decoded one at
-    a time (``gzip.GzipFile`` over a stream) so memory tracks the largest
-    record, not the archive."""
-    if raw[:2] == b"\x1f\x8b":
-        stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
-    else:
-        stream = io.BytesIO(raw)
-    data = stream.read()  # one archive's records (already per-file tasks)
-    pos = 0
+class WarcFormatError(ValueError):
+    """A malformed record: non-WARC leading line, or a missing / invalid /
+    truncated ``Content-Length``. Record framing in WARC is length-prefixed;
+    without a trustworthy length the only safe recovery boundary is the next
+    gzip member (scanning payload BYTES for ``WARC/1.0`` can resurrect
+    garbage records out of response bodies that merely contain that
+    string)."""
+
+
+def _gzip_members(fp, chunk_size: int = 1 << 20):
+    """Decompress a multi-member gzip stream one member at a time,
+    incrementally (``zlib.decompressobj(wbits=31)`` stops at each member
+    boundary): memory holds one decompressed member — one record in the
+    Common Crawl layout — never the archive."""
+    import zlib
+
+    tail = b""
     while True:
-        start = data.find(b"WARC/1.0", pos)
-        if start < 0:
+        data = tail or fp.read(chunk_size)
+        if not data:
             return
-        head_end = data.find(_CRLF + _CRLF, start)
-        if head_end < 0:
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        while True:
+            out.append(d.decompress(data))
+            if d.eof:
+                tail = d.unused_data
+                break
+            data = fp.read(chunk_size)
+            if not data:          # truncated final member
+                tail = b""
+                break
+        member = b"".join(out)
+        if member:
+            yield member
+        if not d.eof and not tail:
             return
-        warc_headers = _split_headers(data[start:head_end])
-        length = int(warc_headers.get("content-length", "0"))
-        payload = data[head_end + 4 : head_end + 4 + length]
-        pos = head_end + 4 + length
-        if warc_headers.get("warc-type") != "response":
-            continue
-        http_end = payload.find(_CRLF + _CRLF)
-        if http_end < 0:
-            continue
-        status_line = payload[:payload.find(_CRLF)]
-        http_headers = _split_headers(payload[:http_end])
+
+
+def _read_record(fp):
+    """Read ONE length-framed record off ``fp``: header block, then exactly
+    ``Content-Length`` payload bytes. Returns ``(warc_headers, payload)`` or
+    ``None`` at EOF; raises :class:`WarcFormatError` on malformed framing."""
+    line = fp.readline()
+    while line in (b"\r\n", b"\n"):      # inter-record separators
+        line = fp.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise WarcFormatError(f"expected a WARC/ version line, got "
+                              f"{line[:40]!r}")
+    header_lines = []
+    while True:
+        hl = fp.readline()
+        if hl in (b"\r\n", b"\n", b""):
+            break
+        header_lines.append(hl)
+    warc_headers = _split_headers(b"".join(header_lines))
+    try:
+        length = int(warc_headers["content-length"])
+        if length < 0:
+            raise ValueError(length)
+    except (KeyError, ValueError):
+        raise WarcFormatError("missing or invalid Content-Length") from None
+    payload = fp.read(length)
+    if len(payload) < length:
+        raise WarcFormatError("payload truncated mid-record")
+    return warc_headers, payload
+
+
+def _response_record(warc_headers: dict, payload: bytes):
+    """(warc_headers, http_headers, body) for a ``response`` record, else
+    ``None``."""
+    if warc_headers.get("warc-type") != "response":
+        return None
+    http_end = payload.find(_CRLF + _CRLF)
+    if http_end < 0:
+        return None
+    status_line = payload[:payload.find(_CRLF)]
+    http_headers = _split_headers(payload[:http_end])
+    try:
+        http_headers["__status"] = status_line.split(b" ")[1].decode()
+    except (IndexError, UnicodeDecodeError):
+        http_headers["__status"] = "0"
+    return warc_headers, http_headers, payload[http_end + 4:]
+
+
+def iter_warc_records(source):
+    """Yield (warc_headers, http_headers, body) per ``response`` record.
+
+    ``source`` is a seekable binary file object or ``bytes``; plain and
+    multi-member-gzip archives are both accepted. Records are parsed
+    record-at-a-time off the stream — gzip members decoded incrementally,
+    payloads read by their ``Content-Length`` — so memory tracks the largest
+    record, never the archive (the Common Crawl design point is ~1 GiB
+    compressed segments; whole-archive materialization is an executor OOM).
+
+    Error policy: a record with a missing/invalid/truncated Content-Length
+    is a parse error, NOT a resync point — in a ``.warc.gz`` the rest of
+    that gzip member is skipped and parsing resumes at the next member; in a
+    plain ``.warc`` there is no safe boundary left, so the remainder of the
+    file is dropped. Payload bytes are never scanned for ``WARC/1.0``: a
+    response body that happens to contain that string must not fabricate
+    records."""
+    if isinstance(source, (bytes, bytearray)):
+        fp = io.BytesIO(bytes(source))
+    else:
+        fp = source
+    head = fp.read(2)
+    fp.seek(-len(head), io.SEEK_CUR)
+    if head == b"\x1f\x8b":
+        for member in _gzip_members(fp):
+            mfp = io.BytesIO(member)
+            try:
+                while True:
+                    rec = _read_record(mfp)
+                    if rec is None:
+                        break
+                    got = _response_record(*rec)
+                    if got is not None:
+                        yield got
+            except WarcFormatError:
+                continue          # recover at the next member boundary
+    else:
         try:
-            http_headers["__status"] = status_line.split(b" ")[1].decode()
-        except (IndexError, UnicodeDecodeError):
-            http_headers["__status"] = "0"
-        yield warc_headers, http_headers, payload[http_end + 4:]
+            while True:
+                rec = _read_record(fp)
+                if rec is None:
+                    return
+                got = _response_record(*rec)
+                if got is not None:
+                    yield got
+        except WarcFormatError:
+            return                # no safe resync boundary in plain WARC
 
 
 def _record_to_row(warc_headers: dict, http_headers: dict,
@@ -167,9 +267,8 @@ def read_warc(spark: SparkSession, paths: list[str] | str,
     def parse_files(it):
         for p in it:
             with open(p, "rb") as f:
-                raw = f.read()
-            for wh, hh, body in iter_warc_records(raw):
-                yield _record_to_row(wh, hh, body)
+                for wh, hh, body in iter_warc_records(f):
+                    yield _record_to_row(wh, hh, body)
 
     return spark.createDataFrame(rdd.mapPartitions(parse_files), PAGES_SCHEMA)
 

@@ -49,6 +49,58 @@ def test_non_response_records_skipped():
     assert got[0][0]["warc-type"] == "response"
 
 
+def test_bad_content_length_skips_to_next_gzip_member():
+    """A record with a missing Content-Length is a parse error: its gzip
+    member is dropped, parsing resumes at the NEXT member (never by scanning
+    payload bytes for 'WARC/1.0')."""
+    bad = gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad.example/\r\n\r\n"   # no Content-Length
+        b"HTTP/1.1 200 OK\r\n\r\nbody", mtime=0)
+    good = warc.build_warc_bytes(_records()[:1], compress=True)
+    got = list(warc.iter_warc_records(bad + good))
+    assert [wh["warc-target-uri"] for wh, _, _ in got] == [
+        "http://h0.example/index.html"]
+
+
+def test_payload_containing_warc_magic_is_not_resynced():
+    """A response body that CONTAINS 'WARC/1.0\\r\\n...' text must not
+    fabricate records — framing is by Content-Length only."""
+    evil_body = (b"<html>example of a record: WARC/1.0\r\n"
+                 b"WARC-Type: response\r\nWARC-Target-URI: http://fake/\r\n"
+                 b"Content-Length: 4\r\n\r\nHTTP/1.1 200 OK\r\n\r\nfake</html>")
+    recs = [{"url": "http://real.example/", "status": 200,
+             "content_type": "text/html", "ts": None, "body": evil_body}]
+    for compress in (True, False):
+        raw = warc.build_warc_bytes(recs, compress=compress)
+        got = list(warc.iter_warc_records(raw))
+        assert [wh["warc-target-uri"] for wh, _, _ in got] == [
+            "http://real.example/"]
+        assert got[0][2] == evil_body
+
+
+def test_plain_warc_stops_at_unframeable_record():
+    """In an uncompressed archive there is no safe resync boundary after a
+    framing error: the remainder of the file is dropped, not guessed at."""
+    good = warc.build_warc_bytes(_records()[:1], compress=False)
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: not-a-number\r\n\r\njunk")
+    tail = warc.build_warc_bytes(_records()[1:2], compress=False)
+    got = list(warc.iter_warc_records(good + bad + tail))
+    assert [wh["warc-target-uri"] for wh, _, _ in got] == [
+        _records()[0]["url"]]
+
+
+def test_iter_accepts_open_file_streaming(tmp_path):
+    """read_warc's task shape: records parsed straight off an open file
+    object, no whole-archive read()."""
+    p = tmp_path / "s.warc.gz"
+    p.write_bytes(warc.build_warc_bytes(_records()))
+    with open(p, "rb") as f:
+        got = list(warc.iter_warc_records(f))
+    assert len(got) == 3
+
+
 def test_read_warc_rows(spark, tmp_path):
     p1 = warc.write_warc(str(tmp_path / "a.warc.gz"), _records()[:2])
     p2 = warc.write_warc(str(tmp_path / "b.warc.gz"), _records()[2:])
