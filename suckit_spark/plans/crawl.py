@@ -300,29 +300,49 @@ def crawl(
         # hashes of one mega-host already spread uniformly.
         if cfg.live_fetch:
             from ..operators import live_fetch as live_fetch_ops
-            if live_robots_rules is not None:
-                # Fetch robots.txt for hosts this superstep introduces; the
-                # driver holds one small rules dict (one entry per host) and
-                # re-broadcasts only when it grew.
+            if cfg.respect_robots:
+                # Fetch robots.txt for hosts this superstep introduces.
+                # Two realizations by host count (the same scale gate corpus
+                # mode has): below robots_join_threshold the driver holds a
+                # small rules dict (one entry per host), re-broadcast only
+                # when it grew; PAST the threshold the rules live in a
+                # distributed (host, prefixes) DataFrame fed directly by the
+                # distributed robots fetches — the driver never stores a
+                # prefix again (a 10^8-host live crawl would otherwise grow
+                # a GB-scale dict and re-broadcast it every wave), and the
+                # gate becomes the same apply_robots_join equi-join the
+                # corpus path uses. Crawl-delays stay driver-side either
+                # way: one float per host that declares one — rare, and the
+                # fetch stage needs them as a plain dict.
                 from ..operators import robots as robots_ops
-                bases = (
+                bases_df = (
                     selected.select(
                         F.regexp_extract(
                             "fetch_url", "^(https?://[^/]+)", 1).alias("base"),
                         frontier_ops.host_col().alias("h"))
-                    .distinct().collect())
-                new_hosts = [
-                    (r.base, r.h) for r in bases
-                    if r.h and r.h not in live_robots_rules]
+                    .filter(F.col("h").isNotNull()).distinct())
+                if live_robots_rules is not None:
+                    bases = bases_df.collect()
+                    new_hosts = [
+                        (r.base, r.h) for r in bases
+                        if r.h not in live_robots_rules]
+                else:
+                    # join mode: membership lives in the rules table; only
+                    # genuinely new hosts ever reach the driver (one tiny
+                    # row each, per wave).
+                    new_hosts = [
+                        (r.base, r.h) for r in bases_df.join(
+                            robots_rules_table.select(
+                                F.col("host").alias("h")),
+                            on="h", how="left_anti").collect()]
                 grew = bool(new_hosts)
                 # A frontier wave can introduce thousands of hosts; fetching
                 # each robots.txt from the driver would serialize the
                 # superstep on network latency. Past a handful, distribute
                 # the fetches as one Arrow stage (jobs-bounded, the same
                 # parallelism envelope as the page fetch itself); the collect
-                # is one tiny row per new host — the same driver footprint as
-                # the rules dict this mode already maintains. Below the
-                # threshold a Spark job costs more than it saves.
+                # is one tiny row per new host. Below the threshold a Spark
+                # job costs more than it saves.
                 if len(new_hosts) <= _ROBOTS_DRIVER_FETCH_MAX:
                     fetched_txt = [
                         (h, live_fetch_ops.fetch_robots_txt(cfg, base))
@@ -344,16 +364,42 @@ def crawl(
                     fetched_txt = [
                         (r.h, r.txt) for r in bdf.mapInPandas(
                             _fetch_robots, "h string, txt string").collect()]
+                new_rule_rows = []
                 for h, txt in fetched_txt:
-                    live_robots_rules[h] = robots_ops.parse_robots(
-                        txt, cfg.user_agent)
+                    prefixes = robots_ops.parse_robots(txt, cfg.user_agent)
+                    if live_robots_rules is not None:
+                        live_robots_rules[h] = prefixes
+                    else:
+                        new_rule_rows.append((h, prefixes))
                     # de-facto Crawl-delay directive: per-host politeness
                     # floor, enforced in the fetch stage (stricter of this
                     # and cfg.delay wins)
                     d = robots_ops.parse_crawl_delay(txt, cfg.user_agent)
                     if d is not None:
                         live_robots_delays[h] = d
-                if grew or robots_udf is None:
+                thr = cfg.robots_join_threshold
+                if (live_robots_rules is not None and thr is not None
+                        and len(live_robots_rules) >= thr):
+                    # Threshold crossing: seed the distributed rules table
+                    # from the dict, then stop maintaining the dict. (At
+                    # real scale the union-per-wave below is an append to a
+                    # rules TABLE — Iceberg append in production; an
+                    # eagerly-materialized localCheckpoint caps lineage in
+                    # the sandbox.)
+                    robots_rules_table = spark.createDataFrame(
+                        list(live_robots_rules.items()),
+                        "host string, prefixes array<string>",
+                    ).localCheckpoint(eager=True)
+                    live_robots_rules = None
+                    robots_udf = None
+                elif live_robots_rules is None and new_rule_rows:
+                    robots_rules_table = robots_rules_table.unionByName(
+                        spark.createDataFrame(
+                            new_rule_rows,
+                            "host string, prefixes array<string>")
+                    ).localCheckpoint(eager=True)
+                if live_robots_rules is not None and (
+                        grew or robots_udf is None):
                     robots_udf = robots_ops.allowed_filter(
                         spark, dict(live_robots_rules))
                 # Re-gate the SELECTED rows with the refreshed rules before
@@ -364,8 +410,12 @@ def crawl(
                 # just-fetched rules disallow it. Dropped rows stay in the
                 # seen set: the rules that exclude them are now loaded, so
                 # re-discovery would be dropped at candidate time anyway.
-                selected = robots_ops.apply_robots(
-                    selected, robots_udf, url_col="fetch_url")
+                if live_robots_rules is not None:
+                    selected = robots_ops.apply_robots(
+                        selected, robots_udf, url_col="fetch_url")
+                else:
+                    selected = robots_ops.apply_robots_join(
+                        selected, robots_rules_table, url_col="fetch_url")
             fetched = live_fetch_ops.fetch_frontier(
                 selected, cfg, jar_key=live_jar_key,
                 relay_cookies=live_fetch_ops.render_cookie_headers(

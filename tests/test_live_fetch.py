@@ -484,6 +484,73 @@ def test_live_robots_gate_on_midcrawl_host(spark):
             srv.server_close()
 
 
+def test_live_robots_join_gate_above_threshold(spark):
+    """Past robots_join_threshold, live mode stops growing the driver rules
+    dict and gates through the distributed (host, prefixes) table — same
+    crawl as the dict path, wire-identical robots behavior (the disallowed
+    page on the mid-crawl host is never fetched)."""
+    srv_a = ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
+    srv_b_handler = type("_SiteHandlerB2", (_SiteHandler,), {
+        "site": {}, "seen_headers": []})
+    srv_b = ThreadingHTTPServer(("127.0.0.2", 0), srv_b_handler)
+    base_a = f"http://127.0.0.1:{srv_a.server_address[1]}"
+    base_b = f"http://127.0.0.2:{srv_b.server_address[1]}"
+    seen_b_paths: list[str] = []
+
+    class _RecordingB2(srv_b_handler):
+        def do_GET(self):
+            seen_b_paths.append(self.path)
+            super().do_GET()
+    srv_b.RequestHandlerClass = _RecordingB2
+
+    _SiteHandler.site = {
+        "/index.html": (
+            f'<html><body><a href="{base_b}/blocked.html">x</a>'
+            f'<a href="{base_b}/open.html">y</a>'
+            f'<a href="a.html">a</a></body></html>').encode(),
+        "/a.html": b"<html><body><p>leaf</p></body></html>",
+        "/robots.txt": b"User-agent: *\nDisallow: /private\n",
+    }
+    _SiteHandler.seen_headers = []
+    srv_b_handler.site = {
+        "/robots.txt": b"User-agent: *\nDisallow: /blocked\n",
+        "/blocked.html": b"<html><body>never fetched</body></html>",
+        "/open.html": b"<html><body>fine</body></html>",
+    }
+    for srv in (srv_a, srv_b):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from suckit_spark.schemas import PAGES_SCHEMA
+
+        def run(threshold):
+            seen_b_paths.clear()
+            cfg = CrawlConfig(origin=f"{base_a}/index.html", ext_depth=-1,
+                              continue_on_error=True, respect_robots=True,
+                              live_fetch=True,
+                              robots_join_threshold=threshold)
+            res = crawl(spark, cfg, spark.createDataFrame([], PAGES_SCHEMA))
+            log = sorted((r.url, r.status) for r in res.crawl_log.collect())
+            seen = {r.url for r in res.seen.collect()}
+            res.close()
+            return log, seen, list(seen_b_paths)
+
+        # threshold=1: the dict crosses to the join table after host A's
+        # rules land; host B (mid-crawl) is handled entirely in join mode.
+        log_join, seen_join, b_paths_join = run(1)
+        log_dict, seen_dict, b_paths_dict = run(None)
+        assert log_join == log_dict
+        assert seen_join == seen_dict
+        assert f"{base_b}/open.html" in {u for u, _ in log_join}
+        assert f"{base_b}/blocked.html" not in {u for u, _ in log_join}
+        # wire-level: host B never served the blocked page on either path
+        assert "/blocked.html" not in set(b_paths_join + b_paths_dict)
+        assert "/open.html" in set(b_paths_join)
+    finally:
+        for srv in (srv_a, srv_b):
+            srv.shutdown()
+            srv.server_close()
+
+
 # ------------------------------------- loopback bench harness (round 3, S8)
 
 def test_loopback_site_deterministic_and_served():
