@@ -591,6 +591,18 @@ def test_max_wall_sec_stops_at_superstep_boundary(spark):
         res.close()
 
 
+def test_median_trial_is_a_real_run():
+    """The bench headline is always an actual recorded trial (lower median
+    for even counts), never an interpolation of two runs."""
+    import bench
+
+    t = [{"v": 3.0, "tag": "a"}, {"v": 1.0, "tag": "b"},
+         {"v": 2.0, "tag": "c"}]
+    assert bench._median_trial(t, "v")["tag"] == "c"
+    assert bench._median_trial(t[:2], "v")["tag"] == "b"   # lower median
+    assert bench._median_trial(t[:1], "v")["tag"] == "a"
+
+
 def test_live_bench_point_runs(spark, monkeypatch):
     """bench.run_live_crawl end to end on a tiny site: pages downloaded
     within the budget, against the loopback server, jobs>1."""
@@ -599,11 +611,17 @@ def test_live_bench_point_runs(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LIVE_PAGES", "40")
     monkeypatch.setenv("SPARK_GRAFT_LIVE_RUN_TIME", "6")
     monkeypatch.setenv("SPARK_GRAFT_LIVE_JOBS", "4")
+    monkeypatch.setenv("SPARK_GRAFT_LIVE_TRIALS", "1")
     out = bench.run_live_crawl(spark)
     assert out["jobs"] == 4
     assert 0 < out["pages_downloaded"] <= 40
     assert out["supersteps"] >= 1
     assert out["pages_per_sec"] > 0
+    # the median-record contract: headline == the median trial's numbers,
+    # every trial recorded with its load context
+    assert out["n_trials"] == 1
+    assert out["trials"][0]["pages_per_sec"] == out["pages_per_sec"]
+    assert "load_avg_1m" in out["trials"][0]
 
 
 def test_live_robots_distributed_fetch_many_hosts(spark):
