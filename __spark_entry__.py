@@ -410,6 +410,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_topk_terms"] = lambda spark, sf: webtext.tfidf_topk_terms(
         _t(spark, sf, "documents"), k=3)
 
+    def pii_redact(spark, sf):
+        # PII scrub. The synthetic corpus carries no natural PII, so the
+        # query plants one email + one IPv4 + one phone per row from doc_id
+        # (both engines build the identical augmented string), making every
+        # row exercise all three redaction passes — the value hash then
+        # pins count AND replacement semantics cross-engine.
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com via 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call +1 555 0100 9"),
+            ).alias("text"))
+        return webtext.pii_redact(docs)
+    q["pii_redact"] = pii_redact
+
+    # CCNet/Dolma-style paragraph dedup (fixed 20-token chunks stand in for
+    # paragraphs); a chunk seen in >1 distinct docs is boilerplate and is
+    # dropped from all of them, docs reassembled from survivors in order.
+    q["chunk_dedup"] = lambda spark, sf: webtext.chunk_dedup(
+        _t(spark, sf, "documents"), chunk_len=20, max_docs=1)
+
     def crawl_to_corpus(spark, sf):
         # End-to-end bridge (suckit_spark/pipeline.py): crawl the fixture
         # site, then build the documents-shaped corpus from the crawl output.
@@ -971,6 +995,78 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, term, tf, df, round(score, 6) AS tfidf, rk
         FROM ranked WHERE rk <= 3
+    """
+
+    # pii_redact: same pattern constants as operators/webtext.py; DuckDB
+    # regexp_replace needs the 'g' flag (Spark's is global by default), and
+    # each count runs on the text the PREVIOUS pass already cleaned.
+    from suckit_spark.operators.webtext import (
+        PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE)
+    o["pii_redact"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com via 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 call +1 555 0100 9' AS t
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+                 regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM aug
+        ), s2 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS n_ips,
+                 regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g')
+                 AS clean_text,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_ips AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}'))
+                    AS BIGINT) AS n_phones
+        FROM s2
+    """
+
+    # chunk_dedup: 20-token chunks, 1-based inclusive slices match Spark's
+    # slice(toks, i*20+1, 20); a doc whose every chunk is boilerplate
+    # survives as ''.
+    o["chunk_dedup"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), b2 AS (
+          SELECT doc_id, toks,
+                 CAST(ceil(len(toks) / 20.0) AS INT) AS n_chunks
+          FROM base
+        ), c AS (
+          SELECT doc_id, n_chunks,
+                 unnest(list_transform(range(0, n_chunks),
+                        i -> struct_pack(pos := i,
+                             chunk := array_to_string(
+                                 toks[i*20+1:(i+1)*20], ' ')))) AS u
+          FROM b2
+        ), ch AS (
+          SELECT doc_id, struct_extract(u, 'pos') AS pos,
+                 struct_extract(u, 'chunk') AS chunk,
+                 md5(struct_extract(u, 'chunk')) AS h
+          FROM c
+        ), freq AS (
+          SELECT h, count(DISTINCT doc_id) AS chunk_df FROM ch GROUP BY h
+        ), kept AS (
+          SELECT ch.doc_id, ch.pos, ch.chunk FROM ch JOIN freq USING (h)
+          WHERE chunk_df <= 1
+        ), agg AS (
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(b.n_chunks - COALESCE(a.n_kept, 0) AS BIGINT)
+                 AS n_dropped_chunks
+        FROM b2 b LEFT JOIN agg a USING (doc_id)
     """
 
     # ---- previously rows-only queries: DuckDB twins via md5 banding,

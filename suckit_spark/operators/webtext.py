@@ -1010,3 +1010,88 @@ def doc_fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_md5"),
         F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
     )
+
+
+#: PII patterns, shared with tests and the DuckDB oracle. Deliberately simple
+#: character-class regexes: Java regex (Spark) and RE2 (DuckDB) agree on
+#: leftmost-first greedy matching for these, so counts and replacements are
+#: bit-identical cross-engine. Redaction order is email -> IPv4 -> phone:
+#: emails contain digits-and-dots an IP pattern could clip, and IPs contain
+#: digit runs the phone pattern could clip, so each later pass runs on text
+#: the earlier pass already cleaned.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\(?\d[\d() -]{7,}\d"
+
+
+def pii_redact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub — the redaction pass every public web-text pipeline runs
+    before training (emails / IPv4s / phone-shaped digit runs replaced with
+    typed placeholder tokens, per-kind counts kept for corpus stats).
+
+    Scale shape: pure per-row JVM expressions (``regexp_count`` +
+    ``regexp_replace`` chained) — narrow plan, zero shuffle, whole-stage
+    codegen, no Python. At 100 TB this is scan-bound, exactly as it should
+    be. Counts are computed BEFORE each replacement on the text as the
+    previous pass left it, so overlapping kinds are never double-counted."""
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        t3.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def chunk_dedup(documents: DataFrame, chunk_len: int = 20,
+                max_docs: int = 1) -> DataFrame:
+    """Paragraph-style cross-document dedup (CCNet/Dolma shape): split every
+    document into fixed-length token chunks (the deterministic stand-in for
+    paragraphs — the synthetic corpus has no newlines), drop every chunk
+    whose exact content appears in more than ``max_docs`` DISTINCT documents
+    (from ALL of them — boilerplate carries no training signal anywhere),
+    and reassemble each document from its surviving chunks in order.
+
+    Scale shape: chunk rows ~= token count / chunk_len; one groupBy(hash)
+    with map-side partial counts, one equi-join chunk->frequency, one
+    re-aggregation by doc_id — three shuffles, all on bounded-width rows,
+    no pair blow-up anywhere (frequency COUNTS, never pairs — the same
+    never-pair rule repeated_spans follows). A doc whose every chunk is
+    boilerplate survives as an empty string, so row counts are stable for
+    downstream joins."""
+    toks = tokens_col()
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(chunk_len))).cast("int")
+    base = documents.select("doc_id", toks.alias("toks")) \
+        .withColumn("n_chunks", n_chunks)
+    # sequence(0, -1) would COUNT DOWN ([0, -1]); guard the empty case.
+    idx = F.when(F.col("n_chunks") > 0,
+                 F.sequence(F.lit(0), F.col("n_chunks") - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(F.transform(idx, lambda i: F.array_join(
+            F.slice("toks", i * chunk_len + 1, chunk_len), " ")))
+        .alias("pos", "chunk"),
+    ).withColumn("h", F.md5("chunk"))
+    freq = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("chunk_df"))
+    kept = chunks.join(freq, "h").where(F.col("chunk_df") <= max_docs)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                        lambda s: s["chunk"]), " ").alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long").alias("n_dropped_chunks"),
+    )

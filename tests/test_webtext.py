@@ -569,3 +569,58 @@ def test_prefix_filter_exact_on_boundary_sizes(spark):
     pref = {(r.doc_a, r.doc_b) for r in webtext.ngram_jaccard_pairs_prefix(
         df, n=3, threshold=0.2).collect()}
     assert pref == base and (0, 1) in pref
+
+
+def test_pii_redact_crafted(spark):
+    rows = [
+        (0, "mail bob.smith+x@foo-bar.example.org now"),
+        (1, "server at 10.0.255.7 and 192.168.1.1 up"),
+        (2, "call +1 555 0100 99 today"),
+        (3, "a@b.cc from 1.2.3.4 dial (06) 1234-5678 end"),
+        (4, "nothing sensitive here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in webtext.pii_redact(df).collect()}
+    assert got[0].clean_text == "mail <EMAIL> now"
+    assert (got[0].n_emails, got[0].n_ips, got[0].n_phones) == (1, 0, 0)
+    assert got[1].clean_text == "server at <IP> and <IP> up"
+    assert got[1].n_ips == 2
+    assert got[2].clean_text == "call <PHONE> today"
+    assert got[2].n_phones == 1
+    # all three kinds in one text; each pass runs on the previous output,
+    # so the IP is not re-counted as a phone
+    assert got[3].clean_text == "<EMAIL> from <IP> dial <PHONE> end"
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (1, 1, 1)
+    assert got[4].clean_text == "nothing sensitive here"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (0, 0, 0)
+    assert got[5].clean_text == ""
+
+
+def test_chunk_dedup_crafted(spark):
+    boiler = " ".join(f"b{i}" for i in range(20))       # one exact chunk
+    uniq = lambda d, j: " ".join(f"u{d}x{j}w{i}" for i in range(20))
+    rows = [
+        # doc 0/1/2 all start with the same boilerplate chunk
+        (0, boiler + " " + uniq(0, 1) + " " + uniq(0, 2)),
+        (1, boiler + " " + uniq(1, 1)),
+        (2, boiler),                       # nothing but boilerplate
+        (3, uniq(3, 1) + " tail short"),   # ragged last chunk, all unique
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           webtext.chunk_dedup(df, chunk_len=20, max_docs=1).collect()}
+    # the shared chunk is dropped from ALL docs; order of survivors kept
+    assert got[0].clean_text == uniq(0, 1) + " " + uniq(0, 2)
+    assert got[0].n_dropped_chunks == 1
+    assert got[1].clean_text == uniq(1, 1)
+    assert got[2].clean_text == "" and got[2].n_dropped_chunks == 1
+    assert got[3].clean_text == uniq(3, 1) + " tail short"
+    assert got[3].n_dropped_chunks == 0
+    assert got[4].clean_text == "" and got[4].n_dropped_chunks == 0
+    # max_docs=2 tolerates pair-wise repeats: nothing dropped for doc 1
+    got2 = {r.doc_id: r for r in
+            webtext.chunk_dedup(df, chunk_len=20, max_docs=3).collect()}
+    assert got2[0].n_dropped_chunks == 0
+    assert got2[0].clean_text.startswith(boiler)
