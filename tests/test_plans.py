@@ -147,3 +147,25 @@ def test_prefix_jaccard_never_cross_joins(spark):
         "simple")
     for node in CROSS_NODES:
         assert node not in plan, f"{node} in plan:\n{plan}"
+
+
+def test_pii_redact_is_narrow(spark):
+    """pii_redact is per-row regexp work: no Exchange, no Join — at 100 TB
+    it must stay scan-bound. A shuffle node appearing here means someone
+    routed it through an aggregation or join it does not need."""
+    plan = _plan_string(webtext.pii_redact(docs_df(spark)), "simple")
+    for node in ("Exchange", "Join", "Window"):
+        assert node not in plan, f"{node} in plan:\n{plan}"
+
+
+def test_chunk_dedup_counts_never_pairs(spark):
+    """chunk_dedup gates on a chunk-frequency COUNT joined back equi-on the
+    chunk hash — never a chunk-chunk self-join pair blow-up, and never a
+    cross product."""
+    plan = _plan_string(
+        webtext.chunk_dedup(docs_df(spark), chunk_len=4), "simple")
+    for node in CROSS_NODES:
+        assert node not in plan, f"{node} in plan:\n{plan}"
+    # exactly the three intended shuffles: freq agg, hash join, doc regroup
+    # (AQE may coalesce but cannot add); allow <= 4 for the final left join
+    assert plan.count("Exchange") <= 5, plan
