@@ -55,6 +55,8 @@ HEADLINE = [
     "quality_score", "token_counts", "bfs_frontier_levels",
     # round-3 curation/analytics additions
     "pagerank_fixed_point", "repeated_spans", "benchmark_overlap",
+    # round-4: PII scrub (narrow/scan-bound) + paragraph-style chunk dedup
+    "pii_redact", "chunk_dedup",
 ]
 
 
