@@ -1060,12 +1060,16 @@ def chunk_dedup(documents: DataFrame, chunk_len: int = 20,
     and reassemble each document from its surviving chunks in order.
 
     Scale shape: chunk rows ~= token count / chunk_len; one groupBy(hash)
-    with map-side partial counts, one equi-join chunk->frequency, one
-    re-aggregation by doc_id — three shuffles, all on bounded-width rows,
-    no pair blow-up anywhere (frequency COUNTS, never pairs — the same
-    never-pair rule repeated_spans follows). A doc whose every chunk is
-    boilerplate survives as an empty string, so row counts are stable for
-    downstream joins."""
+    with map-side partial counts, then a LEFT-ANTI join against only the
+    hashes that exceeded ``max_docs`` — boilerplate is by definition the
+    rare tail of the frequency distribution, so the anti side stays small
+    enough for AQE to broadcast (joining every chunk against the FULL
+    frequency table would shuffle all distinct hashes instead), then one
+    re-aggregation by doc_id. Bounded-width rows throughout, no pair
+    blow-up anywhere (frequency COUNTS, never pairs — the same never-pair
+    rule repeated_spans follows). A doc whose every chunk is boilerplate
+    survives as an empty string, so row counts are stable for downstream
+    joins."""
     toks = tokens_col()
     n_chunks = F.ceil(F.size("toks") / F.lit(float(chunk_len))).cast("int")
     base = documents.select("doc_id", toks.alias("toks")) \
@@ -1080,9 +1084,10 @@ def chunk_dedup(documents: DataFrame, chunk_len: int = 20,
             F.slice("toks", i * chunk_len + 1, chunk_len), " ")))
         .alias("pos", "chunk"),
     ).withColumn("h", F.md5("chunk"))
-    freq = chunks.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("chunk_df"))
-    kept = chunks.join(freq, "h").where(F.col("chunk_df") <= max_docs)
+    boiler = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("chunk_df")) \
+        .where(F.col("chunk_df") > max_docs).select("h")
+    kept = chunks.join(boiler, "h", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
