@@ -252,12 +252,18 @@ def main_bench():
     warm_session(spark)
     # queries first: the crawl's retained superstep checkpoints would
     # otherwise pressure the query timings
+    t_window = time.monotonic()
     query_secs = run_queries(spark)
     crawl_stats = run_crawl(spark, CPUS)
-    # value = queries + ONE (median) corpus crawl — the r1/r2-comparable
-    # window even though the crawl now runs multiple trials; the live bench
-    # point is wall-time-budgeted so its duration is a config, not a
-    # measurement.
+    wall_window = time.monotonic() - t_window
+    # value = sum of per-query seconds + ONE (median) corpus crawl wall.
+    # DEFINITION CHANGE vs r1-r3 (recorded here and in BENCH/BASELINE.md
+    # "Headline definitions"): the old window was a single t0..t1 around
+    # run_queries+run_crawl, which also counted corpus generation, the
+    # bucket-table write, and inter-job overhead. With >=3 crawl trials that
+    # window would triple-count corpus crawls, so r4+ sums the components
+    # instead; ``wall_window_sec`` below preserves the old-style full window
+    # (now spanning ALL crawl trials + prep) for cross-round comparison.
     total = sum(query_secs.values()) + crawl_stats["wall_sec"]
     live_stats = None
     if os.environ.get("SPARK_GRAFT_LIVE_BENCH", "1") != "0":
@@ -266,6 +272,11 @@ def main_bench():
         "metric": "crawl_urls_per_sec",
         "value": round(total, 3),
         "unit": "sec",
+        "value_definition": ("sum(headline query secs) + median-trial crawl "
+                            "wall; r1-r3 'value' was one wall window around "
+                            "queries+single crawl incl. corpus prep — see "
+                            "wall_window_sec"),
+        "wall_window_sec": round(wall_window, 3),
         "queries": query_secs,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "crawl": crawl_stats,
@@ -424,6 +435,13 @@ def main_scaling():
         levels = [int(x) for x in os.environ.get(
             "SPARK_GRAFT_SCALE_LEVELS",
             f"{n_small},{n_small * 2},{n_small * 4}").split(",")]
+        # lo/hi and every "eff vs N" ratio read levels[0]/levels[-1]: an
+        # unsorted or duplicated env override would silently compute wrong
+        # efficiencies, so normalize (sorted) and reject duplicates.
+        if len(set(levels)) != len(levels):
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALE_LEVELS has duplicates: {levels}")
+        levels = sorted(levels)
         for cpus in levels:
             results[cpus] = _submit_crawl_level(
                 cpus, zpath, tmp, s_hosts=s_hosts, s_pages=s_pages,

@@ -287,30 +287,39 @@ def fetch_one(cfg: CrawlConfig, url: str, opener=None,
     """GET ``url`` with up to ``cfg.tries`` attempts on transport failure
     (downloader.rs:174-184). Returns body/headers/status, or
     ``found=False`` once the retry budget is exhausted."""
+    own_opener = opener is None
     opener = opener or _default_opener(cfg)
     req = build_request(cfg, url, extra_cookie=extra_cookie)
     last_err: Exception | None = None
-    for _ in range(max(1, cfg.tries)):
-        try:
-            status, headers, body = opener(req)
-        except Exception as e:  # transport failure: retry
-            last_err = e
-            continue
-        lower = {k.lower(): v for k, v in headers.items()}
+    try:
+        for _ in range(max(1, cfg.tries)):
+            try:
+                status, headers, body = opener(req)
+            except Exception as e:  # transport failure: retry
+                last_err = e
+                continue
+            lower = {k.lower(): v for k, v in headers.items()}
+            return {
+                "html": body,
+                "content_type": lower.get("content-type"),
+                "content_disposition": lower.get("content-disposition"),
+                "set_cookie": lower.get("set-cookie"),
+                "status": int(status),
+                "found": True,
+                "error": None,
+            }
         return {
-            "html": body,
-            "content_type": lower.get("content-type"),
-            "content_disposition": lower.get("content-disposition"),
-            "set_cookie": lower.get("set-cookie"),
-            "status": int(status),
-            "found": True,
-            "error": None,
+            "html": None, "content_type": None, "content_disposition": None,
+            "set_cookie": None,
+            "status": 0, "found": False, "error": repr(last_err),
         }
-    return {
-        "html": None, "content_type": None, "content_disposition": None,
-        "set_cookie": None,
-        "status": 0, "found": False, "error": repr(last_err),
-    }
+    finally:
+        # A one-shot opener created just for this call must not leave its
+        # keep-alive socket to the GC (ResourceWarning + a server thread
+        # parked on a dead connection); callers who pass an opener own its
+        # pool lifetime.
+        if own_opener:
+            opener.pool.close()
 
 
 def fetch_robots_txt(cfg: CrawlConfig, base: str) -> str:
@@ -327,28 +336,37 @@ def fetch_robots_txt(cfg: CrawlConfig, base: str) -> str:
 def _cookie_is_deletion(attrs: list[str]) -> bool:
     """True when the Set-Cookie attribute list says "remove this cookie":
     ``Max-Age`` <= 0 or an ``Expires`` date already in the past — the two
-    standard eviction idioms (RFC 6265 §4.1.2 / §5.3)."""
+    standard eviction idioms. Precedence per RFC 6265 §5.3 step 3: when a
+    valid ``Max-Age`` is present its verdict WINS and ``Expires`` is ignored
+    entirely (so ``Expires=<past>; Max-Age=3600`` is a live cookie, not a
+    deletion); ``Expires`` decides only when no valid ``Max-Age`` exists.
+    All attributes are scanned before answering — attribute order on the
+    wire carries no meaning."""
     import email.utils
     from datetime import datetime, timezone
 
+    max_age_verdict: bool | None = None
+    expires_verdict: bool | None = None
     for a in attrs:
         k, _, v = a.strip().partition("=")
         k = k.strip().lower()
         v = v.strip()
-        if k == "max-age":
+        if k == "max-age" and max_age_verdict is None:
             try:
-                return int(v) <= 0
+                max_age_verdict = int(v) <= 0
             except ValueError:
                 continue
-        if k == "expires":
+        if k == "expires" and expires_verdict is None:
             try:
                 when = email.utils.parsedate_to_datetime(v)
             except (TypeError, ValueError):
                 continue
             if when.tzinfo is None:
                 when = when.replace(tzinfo=timezone.utc)
-            return when <= datetime.now(timezone.utc)
-    return False
+            expires_verdict = when <= datetime.now(timezone.utc)
+    if max_age_verdict is not None:
+        return max_age_verdict
+    return bool(expires_verdict)
 
 
 def merge_set_cookie_lines(store: dict, host: str, lines: str) -> None:
@@ -425,32 +443,40 @@ def fetch_frontier(frontier: DataFrame, cfg: CrawlConfig,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         opener = _default_opener(cfg, jar_key=jar_key)
-        for pdf in batches:
-            out = []
-            for row in pdf.to_dict("records"):
-                host = urlkit.url_host(row["fetch_url"])
-                politeness_sleep(cfg, row["fetch_url"],
-                                 host_delay=delays.get(host, 0.0) if host
-                                 else 0.0)
-                scheme = ("https" if row["fetch_url"].startswith("https:")
-                          else "http")
-                got = fetch_one(cfg, row["fetch_url"], opener=opener,
-                                extra_cookie=(relay.get(host, {}).get(scheme)
-                                              if host else None))
-                out.append({
-                    "url": row["url"], "fetch_url": row["fetch_url"],
-                    "depth": row["depth"], "ext_depth": row["ext_depth"],
-                    "superstep": row["superstep"],
-                    "order_key": row["order_key"],
-                    "html": got["html"],
-                    "content_type": got["content_type"],
-                    "content_disposition": got["content_disposition"],
-                    "requires_auth": False,
-                    "auth_user": None, "auth_pass": None,
-                    "status": got["status"], "found": got["found"],
-                    "set_cookie": got["set_cookie"],
-                })
-            yield (pd.DataFrame(out) if out
-                   else pd.DataFrame(columns=[f.name for f in FETCHED_SCHEMA]))
+        try:
+            for pdf in batches:
+                out = []
+                for row in pdf.to_dict("records"):
+                    host = urlkit.url_host(row["fetch_url"])
+                    politeness_sleep(cfg, row["fetch_url"],
+                                     host_delay=delays.get(host, 0.0) if host
+                                     else 0.0)
+                    scheme = ("https" if row["fetch_url"].startswith("https:")
+                              else "http")
+                    got = fetch_one(
+                        cfg, row["fetch_url"], opener=opener,
+                        extra_cookie=(relay.get(host, {}).get(scheme)
+                                      if host else None))
+                    out.append({
+                        "url": row["url"], "fetch_url": row["fetch_url"],
+                        "depth": row["depth"], "ext_depth": row["ext_depth"],
+                        "superstep": row["superstep"],
+                        "order_key": row["order_key"],
+                        "html": got["html"],
+                        "content_type": got["content_type"],
+                        "content_disposition": got["content_disposition"],
+                        "requires_auth": False,
+                        "auth_user": None, "auth_pass": None,
+                        "status": got["status"], "found": got["found"],
+                        "set_cookie": got["set_cookie"],
+                    })
+                yield (pd.DataFrame(out) if out
+                       else pd.DataFrame(
+                           columns=[f.name for f in FETCHED_SCHEMA]))
+        finally:
+            # Reused python workers outlive the task: without an explicit
+            # close the partition's keep-alive sockets linger until GC (one
+            # blocked server thread per lingering connection).
+            opener.pool.close()
 
     return frontier.mapInPandas(run, FETCHED_SCHEMA)

@@ -60,13 +60,24 @@ def _md5_bucket(c: Column, prefix: str, hexlen: int = 8) -> Column:
 
 
 def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Guarantee the expensive fan-out stages actually parallelize: a small
-    corpus read from one parquet file arrives as ONE input partition, which
-    would serialize the shingle explode onto a single core. Repartitioning the
-    (narrow) doc table is cheap relative to the work it unlocks; at real
-    corpus scale the input already has thousands of splits and this is a
-    cheap hash exchange that also co-locates by key."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    """Guarantee the expensive fan-out stages actually parallelize — but ONLY
+    when the input is actually under-parallel.
+
+    A small corpus read from one parquet file arrives as ONE input partition,
+    which would serialize the shingle explode onto a single core; widening it
+    is cheap relative to the work it unlocks. At real corpus scale the input
+    already has thousands of splits and none of the callers needs doc_id
+    co-location before their explode (the downstream shingle/term groupBy
+    re-shuffles on its own key anyway), so an unconditional
+    ``repartition(defaultParallelism, key)`` would exchange the ENTIRE
+    (doc_id, text) corpus — pure overhead at 100 TB. Gate: widen only when
+    the input has fewer partitions than the session's default parallelism;
+    otherwise pass the input layout through untouched (zero extra Exchange —
+    plan-pinned by tests/test_plans.py)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, key)
 
 
 # --------------------------------------------------------------------------
@@ -681,14 +692,99 @@ def _centroid_scores(cent_rows: list) -> Column:
             (-c["cid"]).alias("negcid")))
 
 
-def ivf_assign_cells(embeddings: DataFrame, cent_rows: list) -> DataFrame:
+#: Max centroid count for the literal-expression assignment form. Past this
+#: the codegen'd literal array stops being "a small broadcast constant" and
+#: becomes a multi-megabyte expression tree (compile time + code-cache
+#: pressure grow with it); real IVF sizes n_centroids ~ sqrt(N) (~1e5 at the
+#: 1e10 design point), which only the matmul path can carry.
+IVF_LITERAL_MAX = 1024
+
+
+def _normalized_centroid_matrix(cent_rows: list):
+    """(sorted cid vector, row-normalized centroid matrix) as numpy arrays —
+    ordered by ascending cid so a first-max argmax breaks score ties toward
+    the smallest cid, exactly like the literal form's lexicographic
+    struct-max over (ccos, -cid)."""
+    import numpy as np
+
+    cids = np.array([int(cid) for cid, _ in cent_rows], dtype=np.int64)
+    order = np.argsort(cids, kind="stable")
+    cids = cids[order]
+    mat = np.array([[float(v) for v in cv] for _, cv in cent_rows],
+                   dtype=np.float64)[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cids, mat / norms
+
+
+def _ivf_assign_matmul(embeddings: DataFrame, cent_rows: list) -> DataFrame:
+    """Large-centroid cell assignment: a vectorized Pandas UDF over a
+    broadcast numpy centroid matrix — ONE BLAS matmul per Arrow batch
+    (``(batch × dim) @ (dim × n_centroids)``), then a per-row argmax. Still a
+    pure projection (no Join/Window/Exchange — same plan pin as the literal
+    form); the constant ships to executors once inside the serialized UDF
+    closure instead of inside the plan, so n_centroids ~ 1e5 costs megabytes
+    of closure, not megabytes of codegen. Scores round to 12 digits before
+    the argmax — the same ulp-flip guard as :func:`_centroid_scores`, so the
+    two strategies agree exactly (parity-tested)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids, cn = _normalized_centroid_matrix(cent_rows)
+
+    def assign(batch):
+        e = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch.to_numpy()])
+        norms = np.linalg.norm(e, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        scores = np.round((e @ cn.T) / norms, 12)
+        # first max along sorted-cid axis == smallest cid among ties
+        return pd.Series(cids[np.argmax(scores, axis=1)]).astype("int32")
+
+    # real class objects, not strings: this module's postponed annotations
+    # (`from __future__ import annotations`) would otherwise stringify the
+    # hints and pandas_udf's eval-type inference cannot resolve them here
+    assign.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    assign = pandas_udf(assign, "int")
+
+    return embeddings.select(
+        "vec_id", "label", "embedding", assign("embedding").alias("cid"))
+
+
+def ivf_assign_cells(embeddings: DataFrame, cent_rows: list,
+                     strategy: str = "auto") -> DataFrame:
     """The IVF cell-assignment stage, isolated so its plan shape is
-    testable: per-row argmax by (ccos desc, cid asc) via a lexicographic
-    struct ``array_max`` over the :func:`_centroid_scores` literal — a pure
-    projection. The physical plan MUST contain no Join, no Window, and no
-    Exchange (``tests/test_plans.py`` pins this); cost is
-    O(N * n_centroids * dim) multiply-adds inside whole-stage codegen,
-    linear in the corpus."""
+    testable. Two strategies, both pure projections (no Join, no Window, no
+    Exchange — ``tests/test_plans.py`` pins this), both O(N * n_centroids *
+    dim) multiply-adds, both rounding scores to 12 digits with ties toward
+    the smallest cid:
+
+    - ``"literal"``: per-row argmax by (ccos desc, cid asc) via a
+      lexicographic struct ``array_max`` over the :func:`_centroid_scores`
+      literal — whole-stage-codegen JVM arithmetic, zero Python. The right
+      plan up to :data:`IVF_LITERAL_MAX` centroids; REFUSED beyond it (a
+      1e5-centroid literal is a multi-megabyte expression tree that must
+      never be built silently).
+    - ``"matmul"``: :func:`_ivf_assign_matmul` — Arrow-batched Pandas UDF,
+      one BLAS matmul per batch over a broadcast numpy centroid matrix. The
+      real-IVF-scale path (n_centroids ~ sqrt(N)).
+
+    ``"auto"`` (default) picks literal up to the threshold, matmul past it.
+    """
+    if strategy == "auto":
+        strategy = ("literal" if len(cent_rows) <= IVF_LITERAL_MAX
+                    else "matmul")
+    if strategy == "matmul":
+        return _ivf_assign_matmul(embeddings, cent_rows)
+    if strategy != "literal":
+        raise ValueError(f"unknown IVF assignment strategy: {strategy!r}")
+    if len(cent_rows) > IVF_LITERAL_MAX:
+        raise ValueError(
+            f"refusing the literal IVF assignment for {len(cent_rows)} "
+            f"centroids (> IVF_LITERAL_MAX={IVF_LITERAL_MAX}): the literal "
+            f"expression tree grows with every centroid — use "
+            f"strategy='matmul' (or 'auto')")
     best = F.array_max(_centroid_scores(cent_rows))
     return embeddings.select(
         "vec_id", "label", "embedding", (-best["negcid"]).alias("cid"))
@@ -705,17 +801,19 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     (:func:`kmeans_centroids` — pays one training job for cells that follow
     the data distribution, higher recall on clustered corpora).
 
-    Cell assignment is a per-row JVM argmax over a literal centroid array
-    (the same trick :func:`ann_lsh_buckets` uses for its hyperplanes): zero
-    shuffle, zero join, zero window — cost is exactly O(N * n_centroids * dim)
-    multiply-adds inside whole-stage codegen, linear in the corpus. (The
-    previous shape — broadcast-join every vector against every centroid then
-    window-rank per vec_id — materialized N*n_centroids rows AND shuffled
-    them; at real IVF scale, n_centroids ≈ sqrt(N), that is a scale-killer.)
-    Centroid sets beyond a few thousand should switch the assignment stage to
-    a Pandas UDF over a broadcast numpy matrix (one BLAS matmul per Arrow
-    batch) rather than growing the literal; the dataflow around it is
-    unchanged. Only the tiny centroid table is ever collected to the driver.
+    Cell assignment (see :func:`ivf_assign_cells`) is a pure projection in
+    both regimes — zero shuffle, zero join, zero window, O(N * n_centroids *
+    dim) multiply-adds: up to :data:`IVF_LITERAL_MAX` centroids it is a
+    per-row JVM argmax over a literal centroid array (whole-stage codegen);
+    past that it switches automatically to the Arrow-batched Pandas-UDF BLAS
+    matmul over a broadcast numpy matrix (real IVF sizes n_centroids ≈
+    sqrt(N) — a literal expression tree cannot carry 1e5 centroids). The
+    probe side switches with it: literal sort-and-slice on the query row, or
+    a driver-side numpy point computation (one query row × n_centroids) in
+    the matmul regime. (The r3 shape — broadcast-join every vector against
+    every centroid then window-rank per vec_id — materialized N*n_centroids
+    rows AND shuffled them; that is a scale-killer and is plan-pinned out.)
+    Only the tiny centroid table is ever collected to the driver.
     """
     if centroids == "kmeans":
         cents = kmeans_centroids(embeddings, n_centroids)
@@ -723,17 +821,42 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
         cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     cent_rows = [(r["cid"], r["cv"]) for r in cents.collect()]
-    scores = _centroid_scores(cent_rows)
     assigned = ivf_assign_cells(embeddings, cent_rows)
-    # The probe set is the query row's n_probe best cells: sort the same
-    # score array descending on the single query row and explode the head.
-    probe = (
-        embeddings.filter(F.col("vec_id") == query_vec_id)
-        .select(F.col("embedding").alias("q"),
-                F.slice(F.sort_array(scores, asc=False), 1, n_probe)
-                .alias("top"))
-        .select("q", F.explode("top").alias("t"))
-        .select((-F.col("t.negcid")).alias("cid"), "q"))
+    # The probe set is the query row's n_probe best cells.
+    if len(cent_rows) <= IVF_LITERAL_MAX:
+        # literal regime: sort the same score array descending on the single
+        # query row and explode the head — all JVM-side.
+        scores = _centroid_scores(cent_rows)
+        probe = (
+            embeddings.filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("embedding").alias("q"),
+                    F.slice(F.sort_array(scores, asc=False), 1, n_probe)
+                    .alias("top"))
+            .select("q", F.explode("top").alias("t"))
+            .select((-F.col("t.negcid")).alias("cid"), "q"))
+    else:
+        # matmul regime: the probe is a POINT computation (one query row ×
+        # n_centroids) — numpy on the driver, same 12-digit rounding and
+        # smallest-cid tie rule, then a tiny literal probe DataFrame. The
+        # only driver collect is the single query row.
+        import numpy as np
+
+        qrow = (embeddings.filter(F.col("vec_id") == query_vec_id)
+                .select("embedding").collect())
+        if not qrow:
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_id int, label string, cosine double")
+        q = np.asarray([float(v) for v in qrow[0]["embedding"]],
+                       dtype=np.float64)
+        cids, cn = _normalized_centroid_matrix(cent_rows)
+        qn = np.linalg.norm(q) or 1.0
+        qscores = np.round((cn @ q) / qn, 12)
+        # stable argsort on (-score, cid): cids are ascending, so a stable
+        # sort by -score keeps smaller cids first among ties
+        top = cids[np.argsort(-qscores, kind="stable")[:n_probe]]
+        probe = embeddings.sparkSession.createDataFrame(
+            [(int(c),) for c in top], "cid int"
+        ).select("cid", F.array(*[F.lit(float(v)) for v in q]).alias("q"))
     cand = assigned.join(F.broadcast(probe), "cid")
     cos = _dot(F.col("embedding"), F.col("q")) / (
         F.sqrt(_dot(F.col("embedding"), F.col("embedding")))

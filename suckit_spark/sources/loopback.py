@@ -45,11 +45,17 @@ class LoopbackSite:
     base URL (``http://127.0.0.1:<port>``)."""
 
     def __init__(self, n_pages: int, fanout: int = 3, seed: int = 42,
-                 body_kb: int = 0, robots_txt: bytes | None = None):
+                 body_kb: int = 0, robots_txt: bytes | None = None,
+                 tls_cert: tuple[str, str] | None = None):
         self.site = site_paths(n_pages, fanout, seed, body_kb)
         if robots_txt is not None:
             self.site["/robots.txt"] = robots_txt
         self.n_pages = n_pages
+        #: ``(certfile, keyfile)`` paths: serve over TLS (self-signed in
+        #: tests — clients opt out of verification via
+        #: ``disable_certs_checks``, the reference's ``--disable-certs-checks``
+        #: surface). Exercises the pooled HTTPS handler end-to-end.
+        self.tls_cert = tls_cert
         self._srv: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self.requests_served = 0
@@ -94,10 +100,21 @@ class LoopbackSite:
                 pass
 
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+        scheme = "http"
+        if self.tls_cert is not None:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(*self.tls_cert)
+            # wrap the LISTENING socket: each accept() hands the handler
+            # thread an SSLSocket (handshake runs per-connection there)
+            self._srv.socket = ctx.wrap_socket(
+                self._srv.socket, server_side=True)
+            scheme = "https"
         self._thread = threading.Thread(
             target=self._srv.serve_forever, daemon=True)
         self._thread.start()
-        return f"http://127.0.0.1:{self._srv.server_address[1]}"
+        return f"{scheme}://127.0.0.1:{self._srv.server_address[1]}"
 
     def __exit__(self, *exc):
         if self._srv is not None:

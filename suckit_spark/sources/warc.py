@@ -100,7 +100,15 @@ def _gzip_members(fp, chunk_size: int = 1 << 20):
     """Decompress a multi-member gzip stream one member at a time,
     incrementally (``zlib.decompressobj(wbits=31)`` stops at each member
     boundary): memory holds one decompressed member — one record in the
-    Common Crawl layout — never the archive."""
+    Common Crawl layout — never the archive.
+
+    A corrupt member (bad gzip header or deflate data → ``zlib.error``) is
+    DROPPED, not raised: parsing resyncs at the next gzip magic in the
+    COMPRESSED stream. This is the member-boundary recovery the WARC error
+    policy promises — scanning compressed bytes for ``\\x1f\\x8b`` is safe
+    where scanning decompressed payloads for ``WARC/1.0`` is not, because a
+    false-positive magic merely makes the next decompress attempt fail and
+    resync again; it can never fabricate a record."""
     import zlib
 
     tail = b""
@@ -110,15 +118,38 @@ def _gzip_members(fp, chunk_size: int = 1 << 20):
             return
         d = zlib.decompressobj(wbits=31)
         out = []
+        corrupt = False
+        first_chunk = True
         while True:
-            out.append(d.decompress(data))
+            try:
+                out.append(d.decompress(data))
+            except zlib.error:
+                corrupt = True
+                break
             if d.eof:
                 tail = d.unused_data
                 break
+            first_chunk = False
             data = fp.read(chunk_size)
             if not data:          # truncated final member
                 tail = b""
                 break
+        if corrupt:
+            # Resync: find the next gzip magic at/after the failing chunk.
+            # Skip offset 0 only when the error hit the member's own first
+            # chunk (its leading magic must not re-match); a magic split
+            # across chunk boundaries is caught by the 1-byte carry.
+            buf, search_from = data, (1 if first_chunk else 0)
+            while True:
+                i = buf.find(b"\x1f\x8b", search_from)
+                if i >= 0:
+                    tail = buf[i:]
+                    break
+                nxt = fp.read(chunk_size)
+                if not nxt:
+                    return
+                buf, search_from = buf[-1:] + nxt, 0
+            continue
         member = b"".join(out)
         if member:
             yield member

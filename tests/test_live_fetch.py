@@ -334,9 +334,13 @@ def test_connection_reuse_single_host():
     with site as base:
         cfg = CrawlConfig(origin=f"{base}/p0.html")
         opener = _default_opener(cfg)
-        for j in range(8):
-            got = live_fetch.fetch_one(cfg, f"{base}/p{j}.html", opener=opener)
-            assert got["found"] and got["status"] == 200
+        try:
+            for j in range(8):
+                got = live_fetch.fetch_one(cfg, f"{base}/p{j}.html",
+                                           opener=opener)
+                assert got["found"] and got["status"] == 200
+        finally:
+            opener.pool.close()
     assert site.requests_served == 8
     assert site.connections_opened == 1
 
@@ -355,9 +359,12 @@ def test_connection_pool_respects_server_close():
     try:
         cfg = CrawlConfig(origin=f"{base}/index.html")
         opener = _default_opener(cfg)
-        for path in ("/index.html", "/a.html", "/b.html"):
-            got = live_fetch.fetch_one(cfg, f"{base}{path}", opener=opener)
-            assert got["found"] and got["status"] == 200
+        try:
+            for path in ("/index.html", "/a.html", "/b.html"):
+                got = live_fetch.fetch_one(cfg, f"{base}{path}", opener=opener)
+                assert got["found"] and got["status"] == 200
+        finally:
+            opener.pool.close()
     finally:
         srv.shutdown()
         srv.server_close()
@@ -374,18 +381,111 @@ def test_connection_pool_recovers_stale_socket():
     with site as base:
         cfg = CrawlConfig(origin=f"{base}/p0.html")
         opener = _default_opener(cfg)
-        assert live_fetch.fetch_one(cfg, f"{base}/p0.html",
-                                    opener=opener)["found"]
-        # Deterministic staleness: close the cached client-side socket
-        # behind the pool's back (same symptom as a server keep-alive
-        # timeout — the next write/read on it fails).
-        pool = opener.pool
-        assert pool._conns
-        for c in pool._conns.values():
-            if c.sock is not None:
-                c.sock.close()
-        got = live_fetch.fetch_one(cfg, f"{base}/p1.html", opener=opener)
-        assert got["found"] and got["status"] == 200
+        try:
+            assert live_fetch.fetch_one(cfg, f"{base}/p0.html",
+                                        opener=opener)["found"]
+            # Deterministic staleness: close the cached client-side socket
+            # behind the pool's back (same symptom as a server keep-alive
+            # timeout — the next write/read on it fails).
+            pool = opener.pool
+            assert pool._conns
+            for c in pool._conns.values():
+                if c.sock is not None:
+                    c.sock.close()
+            got = live_fetch.fetch_one(cfg, f"{base}/p1.html", opener=opener)
+            assert got["found"] and got["status"] == 200
+        finally:
+            opener.pool.close()
+
+
+def _self_signed_cert(tmp_path):
+    """(certfile, keyfile) for 127.0.0.1, generated in-process. Skips when
+    the optional ``cryptography`` package is absent (not part of the engine's
+    dependency set — TLS loopback is test-only plumbing)."""
+    pytest.importorskip("cryptography")
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name).public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=36500))
+        .add_extension(x509.SubjectAlternativeName(
+            [x509.IPAddress(ipaddress.IPv4Address("127.0.0.1"))]),
+            critical=False)
+        .sign(key, hashes.SHA256()))
+    certfile = tmp_path / "cert.pem"
+    keyfile = tmp_path / "key.pem"
+    certfile.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyfile.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()))
+    return str(certfile), str(keyfile)
+
+
+def test_connection_reuse_https(tmp_path):
+    """The pooled HTTPS handler over real TLS: one TCP connection for N
+    requests (self-signed loopback cert, client opts out of verification
+    via disable_certs_checks — the reference's --disable-certs-checks
+    surface)."""
+    from suckit_spark.operators.live_fetch import _default_opener
+    from suckit_spark.sources.loopback import LoopbackSite
+
+    site = LoopbackSite(n_pages=6, fanout=2,
+                        tls_cert=_self_signed_cert(tmp_path))
+    with site as base:
+        assert base.startswith("https://")
+        cfg = CrawlConfig(origin=f"{base}/p0.html",
+                          disable_certs_checks=True)
+        opener = _default_opener(cfg)
+        try:
+            for j in range(6):
+                got = live_fetch.fetch_one(cfg, f"{base}/p{j}.html",
+                                           opener=opener)
+                assert got["found"] and got["status"] == 200
+        finally:
+            opener.pool.close()
+    assert site.requests_served == 6
+    assert site.connections_opened == 1
+
+
+def test_https_stale_tls_socket_recovers(tmp_path):
+    """A pooled TLS socket closed behind the pool's back (server keep-alive
+    timeout) must surface as one transparent retry on a fresh TLS
+    connection."""
+    from suckit_spark.operators.live_fetch import _default_opener
+    from suckit_spark.sources.loopback import LoopbackSite
+
+    site = LoopbackSite(n_pages=4, fanout=1,
+                        tls_cert=_self_signed_cert(tmp_path))
+    with site as base:
+        cfg = CrawlConfig(origin=f"{base}/p0.html",
+                          disable_certs_checks=True)
+        opener = _default_opener(cfg)
+        try:
+            assert live_fetch.fetch_one(cfg, f"{base}/p0.html",
+                                        opener=opener)["found"]
+            pool = opener.pool
+            assert pool._conns
+            for c in pool._conns.values():
+                if c.sock is not None:
+                    c.sock.close()
+            got = live_fetch.fetch_one(cfg, f"{base}/p1.html", opener=opener)
+            assert got["found"] and got["status"] == 200
+        finally:
+            opener.pool.close()
+    assert site.connections_opened == 2
 
 
 # ------------------------ relay cookie semantics (round 4, ADVICE items)
@@ -407,6 +507,29 @@ def test_relay_deletion_evicts():
     live_fetch.merge_set_cookie_lines(store, "h", "sid=abc; Path=/")
     live_fetch.merge_set_cookie_lines(store, "h", "sid=gone; Max-Age=0")
     assert store["h"] == {}
+
+
+def test_relay_deletion_max_age_beats_expires():
+    """RFC 6265 §5.3 step 3: a valid Max-Age wins over Expires regardless
+    of attribute order — 'Expires=<past>; Max-Age=3600' is a LIVE cookie,
+    'Max-Age=0; Expires=<future>' is a deletion."""
+    past = "Thu, 01 Jan 1970 00:00:00 GMT"
+    future = "Fri, 01 Jan 2100 00:00:00 GMT"
+    assert not live_fetch._cookie_is_deletion(
+        [f" Expires={past}", " Max-Age=3600"])
+    assert live_fetch._cookie_is_deletion(
+        [" Max-Age=0", f" Expires={future}"])
+    # invalid Max-Age falls back to Expires
+    assert live_fetch._cookie_is_deletion(
+        [" Max-Age=soon", f" Expires={past}"])
+    assert not live_fetch._cookie_is_deletion(
+        [" Max-Age=soon", f" Expires={future}"])
+    # live store semantics end-to-end
+    store: dict = {}
+    live_fetch.merge_set_cookie_lines(store, "h", "sid=abc")
+    live_fetch.merge_set_cookie_lines(
+        store, "h", f"sid=keep; Expires={past}; Max-Age=3600")
+    assert store["h"]["sid"][0] == "keep"
     live_fetch.merge_set_cookie_lines(store, "h", "sid=back; Max-Age=60")
     live_fetch.merge_set_cookie_lines(
         store, "h", "sid=dead; Expires=Wed, 01 Jan 2020 00:00:00 GMT")

@@ -141,6 +141,28 @@ def test_ivf_assignment_is_pure_projection(spark):
         assert node not in plan, f"{node} in plan:\n{plan}"
 
 
+def test_spread_gates_on_input_parallelism(spark):
+    """_spread must be a no-op on an already-parallel input: the shingle
+    family's downstream groupBy re-shuffles on its own key anyway, so a
+    pre-explode corpus exchange is pure overhead at 100 TB. Only a
+    narrower-than-defaultParallelism input (the one-file sandbox corpus)
+    gets widened."""
+    par = spark.sparkContext.defaultParallelism
+    wide = docs_df(spark, n=64).repartition(par, "doc_id")
+    narrow = docs_df(spark, n=64).coalesce(1)
+    # already-parallel input passes through untouched — zero extra Exchange
+    assert webtext._spread(wide) is wide
+    # under-parallel input is widened to default parallelism
+    assert webtext._spread(narrow).rdd.getNumPartitions() == par
+    # and the operator-level plan proof: exactly ONE Exchange — the input
+    # repartition in the lineage we built. The signature groupBy on doc_id
+    # reuses that hash-partitioning (distribution satisfied, no re-shuffle),
+    # and the pre-r5 unconditional _spread would have planned a second.
+    plan_wide = _plan_string(
+        webtext.minhash_signatures(wide, num_hashes=4), "simple")
+    assert plan_wide.count("Exchange") == 1, plan_wide
+
+
 def test_prefix_jaccard_never_cross_joins(spark):
     plan = _plan_string(
         webtext.ngram_jaccard_pairs_prefix(docs_df(spark), threshold=0.5),

@@ -79,6 +79,46 @@ def test_payload_containing_warc_magic_is_not_resynced():
         assert got[0][2] == evil_body
 
 
+def test_corrupt_gzip_member_alone_yields_nothing():
+    """b'\\x1f\\x8b' + garbage must not raise zlib.error out of the iterator
+    (one bad Common-Crawl archive must not fail the whole Spark task) — it
+    yields no records and terminates cleanly."""
+    assert list(warc.iter_warc_records(b"\x1f\x8b" + b"\xde\xad" * 64)) == []
+
+
+def test_corrupt_gzip_member_resyncs_at_next_member():
+    """valid member + corrupt member + valid member: both valid records
+    survive; the corrupt middle member is dropped at the next gzip magic."""
+    good1 = warc.build_warc_bytes(_records()[:1], compress=True)
+    corrupt = b"\x1f\x8b\x08\x00" + b"\x00" * 6 + b"\xba\xdb\xad" * 40
+    good2 = warc.build_warc_bytes(_records()[1:2], compress=True)
+    got = list(warc.iter_warc_records(good1 + corrupt + good2))
+    assert [wh["warc-target-uri"] for wh, _, _ in got] == [
+        _records()[0]["url"], _records()[1]["url"]]
+    # and a corrupt member mid-stream (valid gzip header, corrupt deflate
+    # body many bytes in) also recovers
+    real = gzip.compress(b"x" * 500, mtime=0)
+    broken = real[:40] + b"\xff\x00\xff\x00" + real[44:]
+    got2 = list(warc.iter_warc_records(broken + good2))
+    assert [wh["warc-target-uri"] for wh, _, _ in got2] == [
+        _records()[1]["url"]]
+
+
+def test_corrupt_member_resync_across_chunk_boundary():
+    """The gzip magic of the next valid member can straddle the reader's
+    chunk boundary; the 1-byte carry must still find it."""
+    good = warc.build_warc_bytes(_records()[:1], compress=True)
+    # corrupt filler sized so the next member's \x1f\x8b straddles a
+    # chunk_size boundary when read with tiny chunks
+    filler = b"\x1f\x8b" + b"\x07" * 64
+    raw = filler + good
+    for chunk in range(3, 12):
+        import io as _io
+
+        got = list(warc._gzip_members(_io.BytesIO(raw), chunk_size=chunk))
+        assert len(got) == 1, chunk
+
+
 def test_plain_warc_stops_at_unframeable_record():
     """In an uncompressed archive there is no safe resync boundary after a
     framing error: the remainder of the file is dropped, not guessed at."""

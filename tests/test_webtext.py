@@ -288,6 +288,83 @@ def test_ivf_probe_all_cells_equals_exact(spark, emb):
     assert got == exact
 
 
+def test_ivf_assignment_strategies_agree(spark, emb):
+    """The literal argmax and the Pandas-UDF BLAS matmul must assign every
+    vector to the SAME cell (both round to 12 digits, both break ties to the
+    smallest cid) — the matmul path is the large-centroid scale route, not a
+    different algorithm."""
+    cents = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    cent_rows = [(r["cid"], r["cv"]) for r in cents.collect()]
+    lit = {r.vec_id: r.cid for r in webtext.ivf_assign_cells(
+        emb, cent_rows, strategy="literal").collect()}
+    mm = {r.vec_id: r.cid for r in webtext.ivf_assign_cells(
+        emb, cent_rows, strategy="matmul").collect()}
+    assert lit == mm
+
+
+def test_ivf_matmul_assignment_is_pure_projection(spark, emb):
+    """The matmul strategy keeps the literal form's plan contract: no Join,
+    no Window, no Exchange — one Arrow-batched projection."""
+    from suckit_spark.plans.crawl import _plan_string
+
+    cent_rows = [(r["vec_id"], [float(v) for v in r["embedding"]])
+                 for r in emb.limit(4).collect()]
+    plan = _plan_string(webtext.ivf_assign_cells(
+        emb, cent_rows, strategy="matmul"), "simple")
+    for node in ("Join", "Window", "Exchange"):
+        assert node not in plan, f"{node} in plan:\n{plan}"
+
+
+def test_ivf_literal_guard_refuses_large_centroid_sets(spark, emb):
+    """The literal form must never silently build a >IVF_LITERAL_MAX-centroid
+    expression tree: explicit strategy='literal' raises; 'auto' switches to
+    matmul instead."""
+    big = [(i, [float((i * 7 + j) % 13) for j in range(4)])
+           for i in range(webtext.IVF_LITERAL_MAX + 1)]
+    with pytest.raises(ValueError, match="IVF_LITERAL_MAX"):
+        webtext.ivf_assign_cells(emb, big, strategy="literal")
+    # auto at the same size plans the matmul (Python/Arrow eval) form
+    from suckit_spark.plans.crawl import _plan_string
+
+    plan = _plan_string(webtext.ivf_assign_cells(emb, big), "simple")
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan
+    with pytest.raises(ValueError, match="strategy"):
+        webtext.ivf_assign_cells(emb, big[:2], strategy="nonsense")
+
+
+def test_ivf_topk_matmul_regime_2k_centroids(spark):
+    """End-to-end ivf_topk past the literal ceiling: 2k centroids over a 4k
+    synthetic corpus routes assignment AND probe through the matmul regime
+    and still returns the true top-k of the probed cells (k-row sanity +
+    exact-cosine agreement with the brute-force scorer on the result set)."""
+    import math
+
+    dim = 16
+    n = 4000
+    vecs = spark.range(n).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: ((F.col("id") * (j + 3) % 17) - 8).cast("float")
+        ).alias("embedding"),
+        F.concat(F.lit("l"), F.col("id") % 5).alias("label"))
+    got = webtext.ivf_topk(vecs, query_vec_id=0, k=10, n_centroids=2000,
+                           n_probe=40, dim=dim).collect()
+    assert len(got) == 10
+    rows = {r["vec_id"]: [float(v) for v in r["embedding"]]
+            for r in vecs.collect()}
+    q = rows[0]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(x * x for x in b)))
+
+    for r in got:
+        assert abs(r.cosine - cos(rows[r.vec_id], q)) < 1e-5
+
+
 def test_exact_dedup_finds_real_dups(spark):
     rows = [(i, "same text here") for i in range(5)] + [(9, "unique")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
