@@ -434,6 +434,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_dedup"] = lambda spark, sf: webtext.chunk_dedup(
         _t(spark, sf, "documents"), chunk_len=20, max_docs=1)
 
+    def chunk_dedup_paragraphs(spark, sf):
+        # Real-web-text mode: NEWLINE paragraphs with CCNet-style key
+        # normalization. The synthetic corpus has no newlines, so the query
+        # builds a newline-bearing fixture both engines construct
+        # identically: each doc = its own text (unique paragraph) + a shared
+        # boilerplate footer whose CASING/PUNCTUATION alternates by doc_id
+        # parity (pinning the normalized key cross-engine — all variants
+        # must hash equal) + a per-doc unique tail.
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit("\n"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("Shared Boilerplate, Footer!"))
+                .otherwise(F.lit("shared BOILERPLATE footer")),
+                F.lit("\n"),
+                F.lit("unique tail "), F.col("doc_id").cast("string"),
+            ).alias("text"))
+        return webtext.chunk_dedup_paragraphs(docs, max_docs=1)
+    q["chunk_dedup_paragraphs"] = chunk_dedup_paragraphs
+
+    # decontamination at the GPT-3 paper setting (n=13): the n=3 row above
+    # exercises the dataflow; this one exercises the sparse-hit regime real
+    # decontamination runs in (13-gram collisions are rare and concentrated
+    # in genuinely repeated boilerplate).
+    q["benchmark_overlap_13"] = lambda spark, sf: webtext.benchmark_overlap(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 17 == 0),
+        n=13)
+
     def crawl_to_corpus(spark, sf):
         # End-to-end bridge (suckit_spark/pipeline.py): crawl the fixture
         # site, then build the documents-shaped corpus from the crawl output.
@@ -1067,6 +1097,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.n_chunks - COALESCE(a.n_kept, 0) AS BIGINT)
                  AS n_dropped_chunks
         FROM b2 b LEFT JOIN agg a USING (doc_id)
+    """
+
+    # chunk_dedup_paragraphs: newline-paragraph mode over the augmented
+    # fixture (text || boilerplate-variant || unique tail — every augmented
+    # row contains \n, so the token-chunk fallback branch never fires here
+    # and the twin implements only the paragraph branch). Key = md5 of the
+    # CCNet-normalized paragraph (lower, non-alnum runs -> single space,
+    # trim); reassembly keeps ORIGINAL paragraph bytes newline-joined.
+    o["chunk_dedup_paragraphs"] = r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || chr(10) ||
+                 CASE WHEN doc_id % 2 = 0 THEN 'Shared Boilerplate, Footer!'
+                      ELSE 'shared BOILERPLATE footer' END || chr(10) ||
+                 'unique tail ' || CAST(doc_id AS VARCHAR) AS t
+          FROM documents
+        ), b2 AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(t, '\n+'),
+                             p -> trim(p) <> '') AS units
+          FROM aug
+        ), u0 AS (
+          SELECT doc_id, len(units) AS n_units,
+                 unnest(list_transform(range(0, len(units)),
+                        i -> struct_pack(pos := i, unit := units[i+1]))) AS s
+          FROM b2
+        ), u AS (
+          SELECT doc_id, struct_extract(s, 'pos') AS pos,
+                 struct_extract(s, 'unit') AS unit,
+                 md5(trim(regexp_replace(
+                     lower(struct_extract(s, 'unit')),
+                     '[^a-z0-9]+', ' ', 'g'))) AS h
+          FROM u0
+        ), freq AS (
+          SELECT h, count(DISTINCT doc_id) AS unit_df FROM u GROUP BY h
+        ), kept AS (
+          SELECT u.doc_id, u.pos, u.unit FROM u JOIN freq USING (h)
+          WHERE unit_df <= 1
+        ), agg AS (
+          SELECT doc_id, string_agg(unit, chr(10) ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(b.units) - COALESCE(a.n_kept, 0) AS BIGINT)
+                 AS n_dropped_paragraphs
+        FROM b2 b LEFT JOIN agg a USING (doc_id)
+    """
+
+    # benchmark_overlap at the GPT-3 n=13 setting — same twin as n=3 with
+    # 13-token shingles.
+    o["benchmark_overlap_13"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct({_shingles(13)})) AS shingle
+          FROM base
+        ), bsh AS (
+          SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+        ), agg AS (
+          SELECT s.doc_id, count(*) AS n_shingles,
+                 SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_overlap
+          FROM sh s LEFT JOIN bsh b ON s.shingle = b.shingle
+          GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+               round(COALESCE(a.n_overlap, 0)::DOUBLE
+                     / greatest(COALESCE(a.n_shingles, 0), 1), 6)
+                 AS contamination_frac
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     """
 
     # ---- previously rows-only queries: DuckDB twins via md5 banding,

@@ -57,6 +57,9 @@ HEADLINE = [
     "pagerank_fixed_point", "repeated_spans", "benchmark_overlap",
     # round-4: PII scrub (narrow/scan-bound) + paragraph-style chunk dedup
     "pii_redact", "chunk_dedup",
+    # round-5: newline-paragraph chunk dedup (CCNet parity) + GPT-3-setting
+    # (n=13) decontamination — the sparse-hit regime real runs use
+    "chunk_dedup_paragraphs", "benchmark_overlap_13",
 ]
 
 

@@ -1223,3 +1223,62 @@ def chunk_dedup(documents: DataFrame, chunk_len: int = 20,
         (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
         .cast("long").alias("n_dropped_chunks"),
     )
+
+
+def chunk_dedup_paragraphs(documents: DataFrame, chunk_len: int = 20,
+                           max_docs: int = 1,
+                           text_col: str = "text") -> DataFrame:
+    """CCNet/Dolma-parity paragraph dedup: the real-web-text mode of
+    :func:`chunk_dedup`. Documents that CONTAIN newlines split on newline
+    runs into natural paragraphs (blank/whitespace-only paragraphs dropped);
+    documents without any newline fall back per-row to the fixed
+    ``chunk_len``-token chunks of :func:`chunk_dedup` — fixed windows are
+    alignment-sensitive (the same boilerplate at a different token offset
+    hashes differently), so they are the fallback, never the preference.
+    The frequency KEY is the CCNet-style normalization of the unit
+    (lowercase, non-alphanumeric runs collapsed to single spaces, trimmed) —
+    the same boilerplate with different punctuation/casing still counts as
+    one paragraph — while the REASSEMBLED text preserves the original
+    paragraph bytes, newline-joined in document order.
+
+    Dataflow is identical to :func:`chunk_dedup` (count paragraph document-
+    frequency, LEFT-ANTI against only the >``max_docs`` boilerplate tail,
+    regroup by doc) — same never-pair rule, same ≤5-Exchange plan pin, same
+    AQE-broadcastable anti side. Oracle twin: ``chunk_dedup_paragraphs`` in
+    ``__spark_entry__.py`` (DuckDB list comprehensions over the same
+    split/normalize rules)."""
+    base0 = documents.select(
+        "doc_id", F.col(text_col).alias("_t"),
+        tokens_col(text_col).alias("toks"))
+    paras = F.filter(F.split(F.col("_t"), "\n+"),
+                     lambda p: F.trim(p) != F.lit(""))
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(chunk_len))).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    tok_chunks = F.transform(idx, lambda i: F.array_join(
+        F.slice("toks", i * chunk_len + 1, chunk_len), " "))
+    base = (base0
+            .withColumn("units", F.when(F.contains("_t", F.lit("\n")),
+                                        paras).otherwise(tok_chunks))
+            .select("doc_id", "units",
+                    F.size("units").alias("n_units")))
+    units = base.select(
+        "doc_id", F.posexplode("units").alias("pos", "unit"),
+    ).withColumn("h", F.md5(F.trim(F.regexp_replace(
+        F.lower("unit"), "[^a-z0-9]+", " "))))
+    boiler = units.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("unit_df")) \
+        .where(F.col("unit_df") > max_docs).select("h")
+    kept = units.join(boiler, "h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                        lambda s: s["unit"]), "\n").alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_units") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long").alias("n_dropped_paragraphs"),
+    )

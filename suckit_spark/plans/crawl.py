@@ -35,7 +35,7 @@ import tempfile
 import time
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..config import INFINITE_DEPTH, CrawlConfig
 from ..operators import dedup as dedup_ops
@@ -458,9 +458,18 @@ def crawl(
             # dry run persists no page bytes anywhere — not even spill.
             store = store.withColumn("content", F.lit(None).cast("binary"))
         step_path = os.path.join(spill_dir, f"step={step:06d}", "result")
+        # Error count rides the WRITE job as an Observation (one driver job
+        # per superstep saved vs the old status-pruned head(1) read): the
+        # C6 abort path only re-reads the store for the failing url when
+        # the observed count says there is one.
+        store_obs = Observation(f"store_{step}")
+        store = store.observe(
+            store_obs,
+            F.sum((F.col("status") == "error").cast("long")).alias("n_err"))
         t_fetch0 = time.monotonic()
         store.write.mode("overwrite").parquet(step_path)
         t_fetch = time.monotonic() - t_fetch0
+        n_err_step = int(store_obs.get["n_err"] or 0)
         # Explicit schema: re-reading with inference would cost a driver job
         # per superstep just to re-discover a schema we already know.
         result_pq = spark.read.schema(_result_store_schema()).parquet(step_path)
@@ -490,8 +499,9 @@ def crawl(
                     live_fetch_ops.merge_set_cookie_lines(
                         live_cookie_store, r.h, r.set_cookie)
 
-        # C6: error policy (status-only pruned read).
-        if not cfg.continue_on_error:
+        # C6: error policy — the count came free with the write job; the
+        # url-bearing read runs only on the (rare) abort path itself.
+        if not cfg.continue_on_error and n_err_step > 0:
             err = result_pq.filter(
                 F.col("status") == "error").select("url").head(1)
             if err:
@@ -541,16 +551,29 @@ def crawl(
                 bloom_fpp=cfg.bloom_fpp,
                 bloom_state=bloom_state,
             )
-        new_urls = new_urls.localCheckpoint(eager=True)
-        t_cand = time.monotonic() - t_cand0
-
-        # F5/F6: depth gates choose which newly-seen URLs are actually fetched.
+        # F5/F6: depth gates choose which newly-seen URLs are actually
+        # fetched (defined here so the gate predicate can ride the
+        # checkpoint job as an Observation).
         local_gate = (
             F.lit(True) if cfg.depth == INFINITE_DEPTH
             else F.col("depth") < cfg.depth)
         ext_gate = (
             F.lit(True) if cfg.ext_depth == INFINITE_DEPTH
             else F.col("ext_depth") < cfg.ext_depth)
+        gate_pred = ((~F.col("external") & local_gate)
+                     | (F.col("external") & ext_gate))
+        # The new-seen and next-frontier row counts ride the checkpoint's
+        # materialization job as an Observation — no separate aggregation
+        # job per superstep (the flat "rest" barrier the N->4N scaling
+        # curve pays at every level).
+        counts_obs = Observation(f"new_{step}")
+        new_urls = new_urls.observe(
+            counts_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(gate_pred.cast("long")).alias("gated"))
+        new_urls = new_urls.localCheckpoint(eager=True)
+        t_cand = time.monotonic() - t_cand0
+
         next_frontier = (
             new_urls.filter(
                 (~F.col("external") & local_gate) | (F.col("external") & ext_gate))
@@ -595,16 +618,13 @@ def crawl(
         # Commit the superstep. next_frontier is a cheap projection over the
         # already-checkpointed new_urls, so it only needs its own
         # materialization when a budget deferral chains it to the previous
-        # frontier's lineage. The new-seen and next-frontier row counts come
-        # from ONE aggregation job over the checkpointed new_urls (the gate
-        # predicate is a plain column expression) instead of two count jobs.
+        # frontier's lineage. The new-seen and next-frontier row counts were
+        # observed during the checkpoint job itself (counts_obs above) —
+        # zero extra jobs.
         if deferred is not None:
             next_frontier = next_frontier.localCheckpoint(eager=True)
-        gate_pred = (~F.col("external") & local_gate) | (F.col("external") & ext_gate)
-        counts = new_urls.agg(
-            F.count("*").alias("n"),
-            F.sum(gate_pred.cast("long")).alias("gated")).head()
-        new_count = counts.n
+        counts = counts_obs.get
+        new_count = int(counts["n"] or 0)
         seen_count += new_count
         seen_delta = new_urls.select("url", F.lit(step).alias("superstep"))
         seen_deltas.append(seen_delta)
@@ -643,7 +663,7 @@ def crawl(
         if deferred is not None:
             frontier_count = frontier.count()
         else:
-            frontier_count = int(counts.gated or 0)
+            frontier_count = int(counts["gated"] or 0)
 
         # S9 log sink (logger.rs): verbose echoes every URL of the superstep
         # in canonical order on the driver — debug surface, off by default.

@@ -342,3 +342,30 @@ def test_seen_compaction_off_grows_plan(spark):
     plan = _plan_string(res.seen, "simple")
     assert plan.count("Scan ExistingRDD") >= n  # one delta branch per step
     res.close()
+
+
+def test_superstep_job_count_pinned(spark):
+    """Driver-job budget per superstep: the write job (error count rides it
+    as an Observation) and the new_urls checkpoint job (new/gated counts
+    ride it) are the ONLY per-superstep actions in corpus mode — the old
+    separate counts aggregation was a third job whose scheduling barrier
+    was pure per-superstep overhead at every parallelism level.
+
+    site_a crawls in 3 supersteps; fixed overhead (corpus re-layout +
+    bucket probe + seed + final new_urls check) is bounded, so total jobs
+    must stay under overhead + 2/superstep. Measured: 23 jobs post-change
+    vs 29 before (2 saved per superstep); the pin (<=25) leaves slack for
+    scheduler accounting, not for a third per-superstep job (which would
+    cost +3)."""
+    from suckit_spark.sources import fixtures
+
+    sc = spark.sparkContext
+    cfg = CrawlConfig(origin="http://0.0.0.0/", continue_on_error=True)
+    pages = fixtures.pages_df(spark, fixtures.site_a())
+    sc.setJobGroup("job_count_pin", "superstep job budget")
+    res = crawl(spark, cfg, pages)
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("job_count_pin")
+    assert res.supersteps == 3
+    assert len(jobs) <= 25, f"{len(jobs)} jobs for 3 supersteps"
+    res.close()

@@ -513,6 +513,49 @@ def test_ivf_kmeans_centroids_recall_real_table(spark, emb):
 
 # ------------------------------------------------------ curation operators
 
+def test_ann_recall_at_sf01_scale(spark):
+    """Measured recall for the ANN family vs the exact backstops at the
+    sf0.1 embeddings (2000 × dim-64 — the largest table in the sandbox),
+    asserted against the ANALYTIC bounds the operators advertise.
+    Everything here is deterministic (md5 hyperplanes, fixed corpus), so
+    the measured numbers are reproducible exactly; the full measurement
+    protocol and values are recorded in BENCH/ANN_RECALL.md.
+
+    - embedding_near_dup_lsh: a pair at cosine exactly t collides in >=1 of
+      the 12 tables with probability 1-(1-(1-acos(t)/pi)^4)^12 (docstring
+      formula). Every exact pair has cosine >= t, so measured recall must
+      beat the bound AT t (0.8734 at t=0.4; measured 0.8837 over 920 pairs).
+    - ivf_topk (prefix centroids, n_probe=4/16): measured 0.9875 mean@10
+      over 8 queries; assert >= 0.95 on the 4 checked here (all 1.0)."""
+    import math
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb = emb.cache()
+    threshold = 0.4
+    exact = {(r.vec_a, r.vec_b) for r in webtext.embedding_near_dup(
+        emb, threshold=threshold).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in webtext.embedding_near_dup_lsh(
+        emb, threshold=threshold).collect()}
+    assert len(exact) > 500          # the regime is dense enough to measure
+    recall = len(lsh & exact) / len(exact)
+    p_plane = 1 - math.acos(threshold) / math.pi
+    bound = 1 - (1 - p_plane ** 4) ** 12
+    assert recall >= bound, (recall, bound)
+    # precision is exact by construction (every candidate is cosine-verified)
+    assert lsh <= exact
+
+    ivf_recalls = []
+    for qid in range(4):
+        ex = {r.vec_id for r in webtext.cosine_topk(
+            emb, query_vec_id=qid, k=10).collect()}
+        got = {r.vec_id for r in webtext.ivf_topk(
+            emb, query_vec_id=qid, k=10, n_centroids=16, n_probe=4,
+            dim=64).collect()}
+        ivf_recalls.append(len(got & ex) / 10)
+    assert sum(ivf_recalls) / len(ivf_recalls) >= 0.95, ivf_recalls
+    emb.unpersist()
+
+
 def test_repetition_scores_crafted(spark):
     rows = [
         # 4 lines, 2 dups of "nav bar"; "a b" appears 3x of 5 bigrams
@@ -701,3 +744,47 @@ def test_chunk_dedup_crafted(spark):
             webtext.chunk_dedup(df, chunk_len=20, max_docs=3).collect()}
     assert got2[0].n_dropped_chunks == 0
     assert got2[0].clean_text.startswith(boiler)
+
+
+def test_chunk_dedup_paragraphs_crafted(spark):
+    """Newline paragraph mode (CCNet parity): shared boilerplate matches
+    across docs despite casing/punctuation (normalized key), original
+    paragraph bytes survive in reassembly, blank paragraphs vanish, and
+    newline-free docs fall back to fixed token chunks."""
+    rows = [
+        (0, "Intro zero.\nSHARED BOILERPLATE, here!\n\nUnique tail zero."),
+        (1, "Intro one.\nshared boilerplate here\nUnique tail one."),
+        # nothing but the boilerplate (and a whitespace-only paragraph)
+        (2, "shared... BOILERPLATE here\n   "),
+        # newline-free pair sharing their first 4-token chunk -> fallback
+        (3, "common first four tokens then tail three"),
+        (4, "common first four tokens plus other words"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in webtext.chunk_dedup_paragraphs(
+        df, chunk_len=4, max_docs=1).collect()}
+    # boilerplate dropped from every doc; ORIGINAL paragraph bytes kept
+    assert got[0].clean_text == "Intro zero.\nUnique tail zero."
+    assert got[0].n_dropped_paragraphs == 1
+    assert got[1].clean_text == "Intro one.\nUnique tail one."
+    assert got[1].n_dropped_paragraphs == 1
+    assert got[2].clean_text == "" and got[2].n_dropped_paragraphs == 1
+    # fallback docs: shared first chunk dropped, distinct tails kept
+    assert got[3].clean_text == "then tail three"
+    assert got[3].n_dropped_paragraphs == 1
+    assert got[4].clean_text == "plus other words"
+    assert got[4].n_dropped_paragraphs == 1
+    assert got[5].clean_text == "" and got[5].n_dropped_paragraphs == 0
+    # alignment robustness — the very reason paragraphs beat fixed windows:
+    # shift the boilerplate's token OFFSET in one doc; paragraph mode still
+    # catches it (chunk mode would hash different windows)
+    rows2 = [(0, "lead in words\nthe exact same boilerplate paragraph"),
+             (1, "a much longer different lead\nThe EXACT same "
+                 "boilerplate paragraph?")]
+    got2 = {r.doc_id: r for r in webtext.chunk_dedup_paragraphs(
+        spark.createDataFrame(rows2, "doc_id long, text string"),
+        max_docs=1).collect()}
+    assert got2[0].n_dropped_paragraphs == 1
+    assert got2[1].n_dropped_paragraphs == 1
+    assert got2[0].clean_text == "lead in words"
