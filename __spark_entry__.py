@@ -455,6 +455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return webtext.chunk_dedup_paragraphs(docs, max_docs=1)
     q["chunk_dedup_paragraphs"] = chunk_dedup_paragraphs
 
+    # CCNet-shape quality signal: add-alpha unigram LM perplexity per doc,
+    # self-trained (the repetition/boilerplate signal; a held-out `train`
+    # corpus gives true out-of-domain perplexity)
+    q["lm_perplexity"] = lambda spark, sf: webtext.lm_perplexity(
+        _t(spark, sf, "documents"))
+
     # decontamination at the GPT-3 paper setting (n=13): the n=3 row above
     # exercises the dataflow; this one exercises the sparse-hit regime real
     # decontamination runs in (13-gram collisions are rare and concentrated
@@ -1144,6 +1150,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(b.units) - COALESCE(a.n_kept, 0) AS BIGINT)
                  AS n_dropped_paragraphs
         FROM b2 b LEFT JOIN agg a USING (doc_id)
+    """
+
+    # lm_perplexity: add-0.5 unigram model over the corpus' own tokens.
+    # Determinism contract matches the Spark side exactly: per-token log2
+    # rounded to 12 digits (absorbs libm ulp), per-doc sum as a fold over
+    # the token-SORTED (n, logp) list (list_reduce starts from the first
+    # element, Spark's aggregate from 0.0 — IEEE-identical since 0.0+x = x).
+    o["lm_perplexity"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), tr AS (
+          SELECT unnest(toks) AS tok FROM base
+        ), model AS (
+          SELECT tok, count(*) AS c FROM tr GROUP BY tok
+        ), nv AS (
+          SELECT CAST(SUM(c) AS DOUBLE) AS n_train,
+                 CAST(COUNT(*) AS DOUBLE) AS v_train
+          FROM model
+        ), dt AS (
+          SELECT doc_id, tok, count(*) AS n
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+          GROUP BY doc_id, tok
+        ), sc AS (
+          SELECT d.doc_id, d.tok, d.n,
+                 round(log2((COALESCE(m.c, 0) + 0.5)
+                            / (nv.n_train + 0.5 * nv.v_train)), 12) AS logp
+          FROM dt d LEFT JOIN model m USING (tok) CROSS JOIN nv
+        ), folded AS (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                 list(struct_pack(tok := tok, n := n, logp := logp)
+                      ORDER BY tok) AS xs
+          FROM sc GROUP BY doc_id
+        ), fin AS (
+          SELECT doc_id, n_tokens,
+                 list_reduce(list_transform(xs, s -> s.n * s.logp),
+                             (a, b) -> a + b) AS ll
+          FROM folded
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(f.n_tokens, 0) AS BIGINT) AS n_tokens,
+               round(COALESCE(-f.ll / greatest(f.n_tokens, 1), 0.0), 6)
+                 AS cross_entropy_bits,
+               round(COALESCE(pow(2.0, -f.ll / greatest(f.n_tokens, 1)),
+                              1.0), 6) AS perplexity
+        FROM documents d LEFT JOIN fin f USING (doc_id)
     """
 
     # benchmark_overlap at the GPT-3 n=13 setting — same twin as n=3 with

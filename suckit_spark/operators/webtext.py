@@ -1124,6 +1124,72 @@ def tfidf_topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
                 F.round("score", 6).alias("tfidf"), "rk"))
 
 
+def lm_perplexity(documents: DataFrame, train: DataFrame | None = None,
+                  alpha: float = 0.5) -> DataFrame:
+    """Unigram language-model perplexity per document — the CCNet quality
+    signal shape (CCNet buckets web text by KenLM perplexity under a
+    reference-corpus model; Dolma and Gopher apply the same
+    score-under-a-reference-LM idea). ``train`` is the reference corpus the
+    add-``alpha``-smoothed unigram model is counted from (default: the
+    scored corpus itself — self-perplexity, the repetition/boilerplate
+    signal); a held-out ``train`` gives true out-of-domain perplexity, with
+    unseen tokens priced at the smoothing floor ``alpha / (N + alpha*V)``.
+
+    Model: P(w) = (c(w) + alpha) / (N + alpha*V) over training tokens;
+    per-doc cross-entropy H = -(1/n) * sum(n_w * log2 P(w)) and
+    perplexity = 2^H.
+
+    Scale shape: the model is one token-keyed count table (vocab-sized —
+    millions of rows at 100 TB, a plain hash-partitioned groupBy); scoring
+    is an equi-join of per-doc distinct-token counts against it (bounded by
+    doc vocabulary, never exploded per occurrence into the join) plus one
+    per-doc re-aggregation. N and V fold into the dataflow as a 1-row
+    broadcast hash join (the tfidf trick — ``least(col, 1)`` key, no driver
+    ``.count()`` job, no BroadcastNestedLoopJoin). No pairs anywhere.
+
+    Cross-engine determinism (DuckDB twin in ``__spark_entry__.py``):
+    per-token log-probs round to 12 digits (absorbing libm last-ulp
+    differences), and the per-doc sum is an explicit left-to-right fold
+    over the TOKEN-SORTED (n_w, logp) list — never an order-nondeterministic
+    double SUM."""
+    train = documents if train is None else train
+    model = (_spread(train)
+             .select(F.explode(tokens_col()).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("c")))
+    nv = model.agg(
+        F.sum("c").cast("double").alias("n_train"),
+        F.count("*").cast("double").alias("v_train")).withColumn(
+        "_k", F.least(F.col("n_train").cast("long"), F.lit(1)))
+    doc_toks = (_spread(documents)
+                .select("doc_id", F.explode(tokens_col()).alias("tok"))
+                .groupBy("doc_id", "tok").agg(F.count("*").alias("n")))
+    logp = F.round(
+        F.log2((F.coalesce(F.col("c"), F.lit(0)).cast("double") + alpha)
+               / (F.col("n_train") + alpha * F.col("v_train"))), 12)
+    scored = (doc_toks.join(model, "tok", "left")
+              .withColumn("_k", F.least(F.col("n"), F.lit(1)))
+              .join(F.broadcast(nv), "_k")
+              .select("doc_id", "tok", "n", logp.alias("logp")))
+    folded = scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "n", "logp"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["n"].cast("double") * s["logp"],
+        ).alias("ll"))
+    h = -F.col("ll") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    out = folded.select(
+        "doc_id", "n_tokens",
+        F.round(h, 6).alias("cross_entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), 6).alias("perplexity"))
+    # empty docs (no tokens) keep their row: H = 0, perplexity = 1
+    return documents.select("doc_id").join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("cross_entropy_bits", F.lit(0.0)).alias("cross_entropy_bits"),
+        F.coalesce("perplexity", F.lit(1.0)).alias("perplexity"))
+
+
 def doc_fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum shingle hash plus the
     distinct-shingle count (cheap containment prefilter for dedup)."""

@@ -111,6 +111,8 @@ def test_candidate_explode_prunes_columns(spark, tmp_path):
         docs_df(s), docs_df(s, 5), n=3), id="benchmark_overlap"),
     pytest.param(lambda s: webtext.tfidf_topk_terms(docs_df(s), k=3),
                  id="tfidf_topk"),
+    pytest.param(lambda s: webtext.lm_perplexity(docs_df(s)),
+                 id="lm_perplexity"),
     pytest.param(lambda s: __import__(
         "suckit_spark.operators.graph", fromlist=["graph"]
     ).pagerank_fixed_point(

@@ -556,6 +556,53 @@ def test_ann_recall_at_sf01_scale(spark):
     emb.unpersist()
 
 
+def test_lm_perplexity_crafted(spark):
+    """Hand-computed add-alpha unigram perplexities, self-trained: model
+    counts a=5, b=1 (N=6, V=2, alpha=0.5) over the two docs."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b"), (2, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in webtext.lm_perplexity(df).collect()}
+    p_a = (5 + 0.5) / (6 + 0.5 * 2)
+    p_b = (1 + 0.5) / (6 + 0.5 * 2)
+    lp_a = round(math.log2(p_a), 12)
+    lp_b = round(math.log2(p_b), 12)
+    h0 = -(4 * lp_a) / 4
+    h1 = -(lp_a + lp_b) / 2
+    assert got[0].n_tokens == 4
+    assert got[0].cross_entropy_bits == round(h0, 6)
+    assert got[0].perplexity == round(2 ** h0, 6)
+    assert got[1].cross_entropy_bits == round(h1, 6)
+    # the repetitive doc is LOWER self-perplexity than the diverse one —
+    # the boilerplate signal CCNet buckets on
+    assert got[0].perplexity < got[1].perplexity
+    # empty doc keeps its row at the defined floor
+    assert got[2].n_tokens == 0 and got[2].perplexity == 1.0
+
+
+def test_lm_perplexity_heldout_train(spark):
+    """A held-out training corpus prices unseen tokens at the smoothing
+    floor alpha/(N + alpha*V) — out-of-domain docs score strictly higher
+    than in-domain ones."""
+    import math
+
+    train = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "the dog sat")],
+        "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "quantum flux capacitor")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           webtext.lm_perplexity(score, train=train).collect()}
+    assert got[0].perplexity < got[1].perplexity
+    # unseen-token doc: every token at the floor, N=9 V=6 alpha=0.5
+    floor = 0.5 / (9 + 0.5 * 6)
+    h = -round(math.log2(floor), 12)
+    assert got[1].cross_entropy_bits == round(h, 6)
+
+
 def test_repetition_scores_crafted(spark):
     rows = [
         # 4 lines, 2 dups of "nav bar"; "a b" appears 3x of 5 bigrams
