@@ -461,6 +461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lm_perplexity"] = lambda spark, sf: webtext.lm_perplexity(
         _t(spark, sf, "documents"))
 
+    # conditional bigram variant (KenLM direction): same dataflow, second
+    # count table
+    q["lm_perplexity_bigram"] = lambda spark, sf: \
+        webtext.lm_perplexity_bigram(_t(spark, sf, "documents"))
+
     # decontamination at the GPT-3 paper setting (n=13): the n=3 row above
     # exercises the dataflow; this one exercises the sparse-hit regime real
     # decontamination runs in (13-gram collisions are rare and concentrated
@@ -1193,6 +1198,52 @@ def oracle_sql() -> dict[str, str]:
                round(COALESCE(-f.ll / greatest(f.n_tokens, 1), 0.0), 6)
                  AS cross_entropy_bits,
                round(COALESCE(pow(2.0, -f.ll / greatest(f.n_tokens, 1)),
+                              1.0), 6) AS perplexity
+        FROM documents d LEFT JOIN fin f USING (doc_id)
+    """
+
+    # lm_perplexity_bigram: P(w2|w1) = (c(w1 w2)+0.5)/(c(w1)+0.5*V), same
+    # sorted-fold determinism contract as the unigram twin.
+    o["lm_perplexity_bigram"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), trb AS (
+          SELECT unnest({_shingles(2)}) AS bg FROM base
+        ), bgm AS (
+          SELECT bg, count(*) AS c_bg FROM trb GROUP BY bg
+        ), pfx AS (
+          SELECT tok AS w1, count(*) AS c_w1
+          FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+        ), v AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS v_train FROM pfx
+        ), db AS (
+          SELECT doc_id, bg, count(*) AS n
+          FROM (SELECT doc_id, unnest({_shingles(2)}) AS bg FROM base)
+          GROUP BY doc_id, bg
+        ), sc AS (
+          SELECT d.doc_id, d.bg, d.n,
+                 round(log2((COALESCE(b.c_bg, 0) + 0.5)
+                            / (COALESCE(p.c_w1, 0) + 0.5 * v.v_train)),
+                       12) AS logp
+          FROM db d LEFT JOIN bgm b USING (bg)
+          LEFT JOIN pfx p ON p.w1 = split_part(d.bg, ' ', 1)
+          CROSS JOIN v
+        ), folded AS (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                 list(struct_pack(bg := bg, n := n, logp := logp)
+                      ORDER BY bg) AS xs
+          FROM sc GROUP BY doc_id
+        ), fin AS (
+          SELECT doc_id, n_bigrams,
+                 list_reduce(list_transform(xs, s -> s.n * s.logp),
+                             (a, b) -> a + b) AS ll
+          FROM folded
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(f.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               round(COALESCE(-f.ll / greatest(f.n_bigrams, 1), 0.0), 6)
+                 AS cross_entropy_bits,
+               round(COALESCE(pow(2.0, -f.ll / greatest(f.n_bigrams, 1)),
                               1.0), 6) AS perplexity
         FROM documents d LEFT JOIN fin f USING (doc_id)
     """

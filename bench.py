@@ -60,8 +60,9 @@ HEADLINE = [
     # round-5: newline-paragraph chunk dedup (CCNet parity) + GPT-3-setting
     # (n=13) decontamination — the sparse-hit regime real runs use
     "chunk_dedup_paragraphs", "benchmark_overlap_13",
-    # round-5: CCNet-shape LM perplexity quality signal
-    "lm_perplexity",
+    # round-5: CCNet-shape LM perplexity quality signal (unigram + the
+    # conditional-bigram KenLM-direction variant)
+    "lm_perplexity", "lm_perplexity_bigram",
 ]
 
 

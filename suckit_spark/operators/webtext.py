@@ -1151,7 +1151,11 @@ def lm_perplexity(documents: DataFrame, train: DataFrame | None = None,
     per-token log-probs round to 12 digits (absorbing libm last-ulp
     differences), and the per-doc sum is an explicit left-to-right fold
     over the TOKEN-SORTED (n_w, logp) list — never an order-nondeterministic
-    double SUM."""
+    double SUM.
+
+    For the conditional-probability (bigram) variant see
+    :func:`lm_perplexity_bigram` — same dataflow with a second count
+    table."""
     train = documents if train is None else train
     model = (_spread(train)
              .select(F.explode(tokens_col()).alias("tok"))
@@ -1186,6 +1190,71 @@ def lm_perplexity(documents: DataFrame, train: DataFrame | None = None,
     return documents.select("doc_id").join(out, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("cross_entropy_bits", F.lit(0.0)).alias("cross_entropy_bits"),
+        F.coalesce("perplexity", F.lit(1.0)).alias("perplexity"))
+
+
+def lm_perplexity_bigram(documents: DataFrame,
+                         train: DataFrame | None = None,
+                         alpha: float = 0.5) -> DataFrame:
+    """Bigram (conditional) LM perplexity — the KenLM-direction extension
+    of :func:`lm_perplexity`, same dataflow with a second count table.
+
+    Model: P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1) + alpha*V) with V the
+    training UNIGRAM vocabulary (add-alpha over the conditional). Per doc:
+    H = -(1/max(len-1, 1)) * sum over positions i>=2 of
+    log2 P(w_i | w_{i-1}) — only bigram transitions are scored (the
+    standard bigram-perplexity convention; a doc with <2 tokens scores
+    H=0, perplexity=1). Unseen prefix AND unseen bigram floor at
+    alpha/(alpha*V) = 1/V.
+
+    Scale shape: two count tables (bigram-keyed and prefix-token-keyed —
+    both plain hash groupBys), doc bigrams joined against each (bounded by
+    the doc's distinct-bigram count), one per-doc re-aggregation; V folds
+    in as a 1-row broadcast hash join. Same sorted-fold / 12-digit-rounded
+    determinism contract as the unigram form, same DuckDB twin pattern."""
+    train = documents if train is None else train
+    tr_toks = _spread(train).select(tokens_col().alias("toks"))
+    bg_model = (tr_toks
+                .select(F.explode(shingles_col(F.col("toks"), 2)).alias("bg"))
+                .groupBy("bg").agg(F.count("*").alias("c_bg")))
+    pfx_model = (tr_toks
+                 .select(F.explode("toks").alias("w1"))
+                 .groupBy("w1").agg(F.count("*").alias("c_w1")))
+    v = pfx_model.agg(
+        F.count("*").cast("double").alias("v_train")).withColumn(
+        "_k", F.least(F.col("v_train").cast("long"), F.lit(1)))
+    doc_bgs = (_spread(documents)
+               .select("doc_id",
+                       F.explode(shingles_col(tokens_col(), 2)).alias("bg"))
+               .groupBy("doc_id", "bg").agg(F.count("*").alias("n")))
+    logp = F.round(
+        F.log2((F.coalesce(F.col("c_bg"), F.lit(0)).cast("double") + alpha)
+               / (F.coalesce(F.col("c_w1"), F.lit(0)).cast("double")
+                  + alpha * F.col("v_train"))), 12)
+    scored = (doc_bgs
+              .join(bg_model, "bg", "left")
+              .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "),
+                                             F.lit(1)))
+              .join(pfx_model, "w1", "left")
+              .withColumn("_k", F.least(F.col("n"), F.lit(1)))
+              .join(F.broadcast(v), "_k")
+              .select("doc_id", "bg", "n", logp.alias("logp")))
+    folded = scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bg", "n", "logp"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["n"].cast("double") * s["logp"],
+        ).alias("ll"))
+    h = -F.col("ll") / F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
+    out = folded.select(
+        "doc_id", "n_bigrams",
+        F.round(h, 6).alias("cross_entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), 6).alias("perplexity"))
+    return documents.select("doc_id").join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("cross_entropy_bits", F.lit(0.0)).alias("cross_entropy_bits"),
         F.coalesce("perplexity", F.lit(1.0)).alias("perplexity"))
 

@@ -113,6 +113,8 @@ def test_candidate_explode_prunes_columns(spark, tmp_path):
                  id="tfidf_topk"),
     pytest.param(lambda s: webtext.lm_perplexity(docs_df(s)),
                  id="lm_perplexity"),
+    pytest.param(lambda s: webtext.lm_perplexity_bigram(docs_df(s)),
+                 id="lm_perplexity_bigram"),
     pytest.param(lambda s: __import__(
         "suckit_spark.operators.graph", fromlist=["graph"]
     ).pagerank_fixed_point(

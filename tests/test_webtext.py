@@ -603,6 +603,35 @@ def test_lm_perplexity_heldout_train(spark):
     assert got[1].cross_entropy_bits == round(h, 6)
 
 
+def test_lm_perplexity_bigram_crafted(spark):
+    """Hand-computed conditional bigram perplexities, self-trained:
+    bigram counts 'a b'=3, 'b a'=2; prefix counts a=5, b=3; V=2."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "a b"), (2, "a"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in webtext.lm_perplexity_bigram(df).collect()}
+    lp_ba = round(math.log2((3 + 0.5) / (5 + 0.5 * 2)), 12)  # P(b|a)
+    lp_ab = round(math.log2((2 + 0.5) / (3 + 0.5 * 2)), 12)  # P(a|b)
+    h0 = -(2 * lp_ba + 2 * lp_ab) / 4
+    assert got[0].n_bigrams == 4
+    assert got[0].cross_entropy_bits == round(h0, 6)
+    assert got[0].perplexity == round(2 ** h0, 6)
+    assert got[1].cross_entropy_bits == round(-lp_ba, 6)
+    # <2 tokens: no transitions to score — defined floor
+    assert got[2].n_bigrams == 0 and got[2].perplexity == 1.0
+    assert got[3].n_bigrams == 0 and got[3].perplexity == 1.0
+    # held-out: unseen prefix AND bigram floor at 1/V
+    train = spark.createDataFrame(
+        [(9, "x y x z")], "doc_id long, text string")  # V=3
+    oos = spark.createDataFrame(
+        [(0, "q r")], "doc_id long, text string")
+    got2 = webtext.lm_perplexity_bigram(oos, train=train).collect()[0]
+    assert got2.cross_entropy_bits == round(
+        -round(math.log2(0.5 / (0.5 * 3)), 12), 6)
+
+
 def test_repetition_scores_crafted(spark):
     rows = [
         # 4 lines, 2 dups of "nav bar"; "a b" appears 3x of 5 bigrams
