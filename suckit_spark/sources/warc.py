@@ -304,6 +304,145 @@ def read_warc(spark: SparkSession, paths: list[str] | str,
     return spark.createDataFrame(rdd.mapPartitions(parse_files), PAGES_SCHEMA)
 
 
+# -------------------------------------------------------- WET (text side)
+
+def build_wet_bytes(records: list[dict], compress: bool = True) -> bytes:
+    """Serialize ``records`` (dicts with url, ts (datetime), text (str)) as
+    a WET archive — Common Crawl's extracted-text sibling of WARC:
+    ``WARC-Type: conversion`` records whose payload is the plain UTF-8 text
+    of the page (no HTTP envelope). One gzip member per record when
+    ``compress``. Deterministic, same policy as :func:`build_warc_bytes`."""
+    out = io.BytesIO()
+    for i, rec in enumerate(records):
+        body = rec["text"].encode("utf-8")
+        ts = rec.get("ts") or datetime.datetime(2026, 1, 1)
+        headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n".encode("ascii")
+            + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n".encode("ascii")
+            + f"WARC-Target-URI: {rec['url']}\r\n".encode("ascii")
+            + b"Content-Type: text/plain\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode("ascii")
+            + _CRLF
+        )
+        member = headers + body + _CRLF + _CRLF
+        out.write(gzip.compress(member, mtime=0) if compress else member)
+    return out.getvalue()
+
+
+def write_wet(path: str, records: list[dict], compress: bool = True) -> str:
+    with open(path, "wb") as f:
+        f.write(build_wet_bytes(records, compress))
+    return path
+
+
+def iter_wet_records(source):
+    """Yield ``(warc_headers, text)`` per ``conversion`` record. Framing,
+    streaming, and corrupt-member recovery are shared with
+    :func:`iter_warc_records`'s machinery (length-prefixed records, gzip
+    member resync, no payload scanning); non-conversion records are
+    skipped, payload bytes decode as UTF-8 with replacement."""
+    if isinstance(source, (bytes, bytearray)):
+        fp = io.BytesIO(bytes(source))
+    else:
+        fp = source
+    head = fp.read(2)
+    fp.seek(-len(head), io.SEEK_CUR)
+
+    def records_of(stream):
+        while True:
+            rec = _read_record(stream)
+            if rec is None:
+                return
+            yield rec
+
+    if head == b"\x1f\x8b":
+        for member in _gzip_members(fp):
+            mfp = io.BytesIO(member)
+            try:
+                for wh, payload in records_of(mfp):
+                    if wh.get("warc-type") == "conversion":
+                        yield wh, payload.decode("utf-8", "replace")
+            except WarcFormatError:
+                continue          # recover at the next member boundary
+    else:
+        try:
+            for wh, payload in records_of(fp):
+                if wh.get("warc-type") == "conversion":
+                    yield wh, payload.decode("utf-8", "replace")
+        except WarcFormatError:
+            return                # no safe resync boundary in plain WET
+
+#: What read_wet produces — the text-side ingest contract (url + capture
+#: time + extracted text), convertible to the documents table via
+#: :func:`wet_to_documents`.
+WET_SCHEMA = "url string, warc_ts timestamp, text string"
+
+
+def read_wet(spark: SparkSession, paths: list[str] | str,
+             paths_per_task: int = 1) -> DataFrame:
+    """Distributed WET read — Common Crawl's extracted-text segments
+    straight into (url, warc_ts, text) rows, one task per
+    ``paths_per_task`` files, records parsed executor-side (same job shape
+    as :func:`read_warc`; ~150 MiB compressed per real WET segment)."""
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(
+                os.path.join(paths, f) for f in os.listdir(paths)
+                if f.endswith((".wet", ".wet.gz", ".warc.wet.gz")))
+        else:
+            paths = [paths]
+    n_tasks = max(1, len(paths) // paths_per_task)
+    rdd = spark.sparkContext.parallelize(paths, n_tasks)
+
+    def parse_files(it):
+        for p in it:
+            with open(p, "rb") as f:
+                for wh, text in iter_wet_records(f):
+                    url = wh.get("warc-target-uri", "")
+                    ts = None
+                    raw_ts = wh.get("warc-date")
+                    if raw_ts:
+                        try:
+                            ts = datetime.datetime.strptime(
+                                raw_ts, "%Y-%m-%dT%H:%M:%SZ")
+                        except ValueError:
+                            ts = None
+                    yield (url, ts, text)
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("text", StringType()),
+    ])
+    return spark.createDataFrame(rdd.mapPartitions(parse_files), schema)
+
+
+def wet_to_documents(wet: DataFrame) -> DataFrame:
+    """Map WET rows onto the ``documents`` table shape the curation
+    operators consume (doc_id, text, lang, source, n_chars): ``doc_id`` =
+    ``xxhash64(url)`` (deterministic, partition-order-free — a row_number
+    would serialize the corpus through one window), ``source`` = the URL's
+    host, ``lang`` = null (feed :func:`...webtext.lang_id_heuristic`
+    downstream)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.frontier import host_col
+
+    return wet.select(
+        F.xxhash64("url").alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        host_col("url").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 # ------------------------------------------------------------------- sink
 
 def write_warc_dataset(pages: DataFrame, out_dir: str,
